@@ -1,0 +1,206 @@
+"""Spatial multi-head attention over NHWC feature maps.
+
+TPU-native replacement for the reference's "memory-efficient" chunked
+attention (`PixelArtAttention`, lunar_evaluator.py:119-227). This module is
+the pure-JAX (XLA) realization: a flash-style blockwise kernel with online
+softmax written with `lax.scan`, memory-bounded at O(block_q * N) instead of
+O(N^2). The Pallas Mosaic kernel that replaces it on TPU lives in
+`ops/pallas/flash_attention.py`; `ops.dispatch` chooses between them.
+
+Documented deviations from the reference (SURVEY.md §2.1 #8):
+  * The reference's chunk bookkeeping indexes output slices by chunk ordinal
+    instead of element offset (lunar_evaluator.py:209,216), so chunks
+    overwrite each other. We implement the *correct* blockwise attention.
+  * The reference adds its relative-position term per *query* row
+    (rel_pos[..., i:i+chunk, :] broadcast over keys) — a per-row constant
+    that softmax normalizes away, i.e. a mathematical no-op. We apply it per
+    *key* (scores[b,h,q,k] += rel_pos[h,k]) so the learned factorized
+    positional parameters (lunar_evaluator.py:136-137) actually condition
+    attention, which is the evident intent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lunaris_orion_tpu.ops import layers
+
+Params = Dict[str, jax.Array]
+
+
+def attention_init(key, channels: int, *, num_heads: int = 8,
+                   rel_pos_size: int = 8) -> Params:
+    """qkv/proj 1x1 convs + factorized rel-pos params.
+
+    Init matches the teacher's kaiming(fan_out) override
+    (lunar_evaluator.py:399-406) for convs and randn*0.02 for rel-pos
+    (lunar_evaluator.py:136-137).
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "qkv": layers.conv2d_init(k1, channels, channels * 3, 1, scheme="kaiming_out"),
+        "proj": layers.conv2d_init(k2, channels, channels, 1, scheme="kaiming_out"),
+        "rel_pos_h": jax.random.normal(k3, (num_heads, rel_pos_size)) * 0.02,
+        "rel_pos_w": jax.random.normal(k4, (num_heads, rel_pos_size)) * 0.02,
+    }
+
+
+def _interp_align_corners(p: jax.Array, out_len: int) -> jax.Array:
+    """1-D linear interpolation, align_corners=True (torch F.interpolate
+    bilinear on a [*, S, 1] map, lunar_evaluator.py:178-179). p: [H?, S]."""
+    s = p.shape[-1]
+    if out_len == s:
+        return p
+    if out_len == 1 or s == 1:
+        return jnp.broadcast_to(p[..., :1], p.shape[:-1] + (out_len,))
+    scale = (s - 1) / (out_len - 1)
+    t = jnp.arange(out_len, dtype=jnp.float32) * scale
+    lo = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, s - 2)
+    frac = t - lo.astype(jnp.float32)
+    p_lo = p[..., lo]
+    p_hi = p[..., lo + 1]
+    return p_lo * (1.0 - frac) + p_hi * frac
+
+
+def rel_pos_bias(params: Params, h: int, w: int) -> jax.Array:
+    """[heads, N] additive key bias from factorized 8x1 / 1x8 params."""
+    rh = _interp_align_corners(params["rel_pos_h"].astype(jnp.float32), h)  # [heads, H]
+    rw = _interp_align_corners(params["rel_pos_w"].astype(jnp.float32), w)  # [heads, W]
+    grid = rh[:, :, None] + rw[:, None, :]  # [heads, H, W]
+    return grid.reshape(grid.shape[0], h * w)
+
+
+def _pick_block(n: int, desired: int) -> int:
+    """Largest divisor of n that is <= desired (prefers powers of two)."""
+    b = min(desired, n)
+    while n % b != 0:
+        b -= 1
+    return b
+
+
+def multihead_qkv(params: Params, x: jax.Array, num_heads: int):
+    """x [B,H,W,C] -> q,k,v each [B, heads, N, head_dim]."""
+    b, h, w, c = x.shape
+    qkv = layers.conv2d(params["qkv"], x)  # [B,H,W,3C]
+    qkv = qkv.reshape(b, h * w, 3, num_heads, c // num_heads)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # [3, B, heads, N, d]
+    return qkv[0], qkv[1], qkv[2]
+
+
+def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
+                        block_k: int = 1024,
+                        dropout_rate: float = 0.0,
+                        rng: Optional[jax.Array] = None,
+                        train: bool = False) -> jax.Array:
+    """Blockwise online-softmax attention in pure JAX.
+
+    q,k,v: [B, heads, N, d]; bias: [heads, N] additive key bias (or None).
+    Memory: O(B * heads * block_q * block_k). Accumulates in f32.
+    """
+    b, nh, n, d = q.shape
+    bq = _pick_block(n, block_q)
+    bk = _pick_block(n, block_k)
+    nq, nk = n // bq, n // bk
+    scale = d ** -0.5
+    orig = q.dtype
+
+    qb = q.reshape(b, nh, nq, bq, d).transpose(2, 0, 1, 3, 4)  # [nq,B,h,bq,d]
+    kb = k.reshape(b, nh, nk, bk, d).transpose(2, 0, 1, 3, 4)
+    vb = v.reshape(b, nh, nk, bk, d).transpose(2, 0, 1, 3, 4)
+    bias_b = None if bias is None else bias.reshape(nh, nk, bk).transpose(1, 0, 2)
+
+    use_drop = train and dropout_rate > 0.0 and rng is not None
+
+    def q_step(qi, q_blk):
+        acc0 = jnp.zeros((b, nh, bq, d), jnp.float32)
+        m0 = jnp.full((b, nh, bq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((b, nh, bq, 1), jnp.float32)
+
+        def kv_step(carry, inputs):
+            acc, m, l = carry
+            ki, k_blk, v_blk = inputs
+            s = jnp.einsum("bhqd,bhkd->bhqk", q_blk.astype(jnp.float32),
+                           k_blk.astype(jnp.float32)) * scale
+            if bias_b is not None:
+                s = s + bias_b[ki][None, :, None, :]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            if use_drop:
+                tile_rng = jax.random.fold_in(jax.random.fold_in(rng, qi), ki)
+                keep = jax.random.bernoulli(tile_rng, 1.0 - dropout_rate, p.shape)
+                p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            acc_new = acc * corr + jnp.einsum(
+                "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32))
+            return (acc_new, m_new, l_new), None
+
+        (acc, _, l), _ = lax.scan(
+            kv_step, (acc0, m0, l0),
+            (jnp.arange(nk), kb, vb))
+        return acc / jnp.maximum(l, 1e-30)
+
+    out = lax.map(lambda args: q_step(*args), (jnp.arange(nq), qb))  # [nq,B,h,bq,d]
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n, d)
+    return out.astype(orig)
+
+
+def full_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
+                   rng: Optional[jax.Array] = None,
+                   train: bool = False) -> jax.Array:
+    """O(N^2)-memory attention for small N / parity tests."""
+    d = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * (d ** -0.5)
+    if bias is not None:
+        s = s + bias[None, :, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    if train and dropout_rate > 0.0 and rng is not None:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def spatial_attention_reference(params: Params, x: jax.Array, *,
+                                num_heads: int = 8,
+                                dropout_rate: float = 0.0,
+                                rng: Optional[jax.Array] = None,
+                                train: bool = False,
+                                impl: str = "auto",
+                                block_q: int = 256,
+                                block_k: int = 1024) -> jax.Array:
+    """Full PixelArtAttention module: qkv -> blockwise attn(+rel-pos) -> proj.
+
+    `impl`: 'auto' | 'full' | 'flash'. Dropout is applied to attention
+    probabilities and to the projected output, as in the reference
+    (lunar_evaluator.py:139-140,211-225).
+    """
+    b, h, w, c = x.shape
+    n = h * w
+    q, k, v = multihead_qkv(params, x, num_heads)
+    bias = rel_pos_bias(params, h, w)
+
+    attn_rng = proj_rng = None
+    if rng is not None:
+        attn_rng, proj_rng = jax.random.split(rng)
+
+    if impl == "auto":
+        impl = "full" if n <= 1024 else "flash"
+    if impl == "full":
+        out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
+                             rng=attn_rng, train=train)
+    else:
+        out = flash_attention_xla(q, k, v, bias, block_q=block_q,
+                                  block_k=block_k, dropout_rate=dropout_rate,
+                                  rng=attn_rng, train=train)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+    out = layers.conv2d(params["proj"], out)
+    out = layers.dropout(out, dropout_rate, rng=proj_rng, train=train)
+    return out

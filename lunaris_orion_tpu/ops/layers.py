@@ -1,0 +1,223 @@
+"""Core layers: conv / linear / norms / dropout / pooling.
+
+Pure functions over explicit param dicts. Layout conventions (TPU-native):
+  * activations NHWC, conv weights HWIO (XLA's preferred TPU layouts),
+  * norm statistics computed in f32 regardless of compute dtype,
+  * transposed conv stored as a *regular* conv weight and applied as an
+    input-dilated conv — the exact TPU-friendly realization of
+    nn.ConvTranspose2d(k=4, s=2, p=1) (reference lunar_generate.py:168-190).
+
+Parity targets cited per function.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lunaris_orion_tpu.ops import initializers as init
+
+Params = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d_init(key, in_ch: int, out_ch: int, kernel: int, *, groups: int = 1,
+                scheme: str = "torch_default") -> Params:
+    if scheme == "torch_default":
+        w, b = init.torch_default_conv(key, kernel, kernel, in_ch, out_ch, groups)
+    elif scheme == "kaiming_out":
+        w, b = init.kaiming_normal_fan_out_conv(key, kernel, kernel, in_ch, out_ch, groups)
+    else:
+        raise ValueError(scheme)
+    return {"w": w, "b": b}
+
+
+def conv2d(params: Params, x: jax.Array, *, stride: int = 1,
+           padding: Optional[int] = None, groups: int = 1) -> jax.Array:
+    """3x3/5x5/1x1 conv, padding defaults to torch 'same-ish' (k//2)."""
+    w = params["w"].astype(x.dtype)
+    k = w.shape[0]
+    pad = k // 2 if padding is None else padding
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+def conv2d_transpose_init(key, in_ch: int, out_ch: int, kernel: int = 4,
+                          *, scheme: str = "torch_default") -> Params:
+    """Weight stored HWIO for the equivalent input-dilated conv.
+
+    PyTorch's ConvTranspose2d fan_in quirk: its weight is [in, out, k, k] and
+    torch computes fan_in from dim 1 => fan_in = out_ch * k * k
+    (used for both weight and bias bounds).
+    """
+    import math
+    wkey, bkey = jax.random.split(key)
+    if scheme == "torch_default":
+        bound = 1.0 / math.sqrt(out_ch * kernel * kernel)
+        w = init.torch_uniform_bound(wkey, (kernel, kernel, in_ch, out_ch), bound)
+        b = init.torch_uniform_bound(bkey, (out_ch,), bound)
+    elif scheme == "kaiming_out":
+        w, b = init.kaiming_normal_fan_out_conv(wkey, kernel, kernel, in_ch, out_ch)
+    else:
+        raise ValueError(scheme)
+    return {"w": w, "b": b}
+
+
+def conv2d_transpose(params: Params, x: jax.Array, *, stride: int = 2,
+                     kernel: int = 4, padding: int = 1) -> jax.Array:
+    """ConvTranspose2d(k, s, p) as an input-dilated regular conv.
+
+    output = (i-1)*s - 2p + k  (=2i for k=4,s=2,p=1), matching
+    lunar_generate.py:168-190. The stored weight is already in the dilated
+    conv's orientation (the torch->jax converter in utils.torch_compat flips).
+    """
+    w = params["w"].astype(x.dtype)
+    pad = kernel - 1 - padding
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMNUMS,
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_dim: int, out_dim: int, *, scheme: str = "torch_default") -> Params:
+    if scheme == "torch_default":
+        w, b = init.torch_default_linear(key, in_dim, out_dim)
+    elif scheme == "kaiming_out":
+        w, b = init.kaiming_normal_fan_out_linear(key, in_dim, out_dim)
+    else:
+        raise ValueError(scheme)
+    return {"w": w, "b": b}
+
+
+def linear(params: Params, x: jax.Array) -> jax.Array:
+    w = params["w"].astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=x.dtype) + params["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+def group_norm_init(num_channels: int) -> Params:
+    return {"scale": jnp.ones((num_channels,), jnp.float32),
+            "bias": jnp.zeros((num_channels,), jnp.float32)}
+
+
+def group_norm(params: Params, x: jax.Array, *, groups: int = 8,
+               eps: float = 1e-5) -> jax.Array:
+    """GroupNorm(8, C) over NHWC (reference uses nn.GroupNorm(8, C) everywhere
+    in the VAE, lunar_generate.py:37-42,96-119,170-190). Stats in f32."""
+    b, h, w, c = x.shape
+    orig = x.dtype
+    xg = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+    xn = (xg - mean) * lax.rsqrt(var + eps)
+    xn = xn.reshape(b, h, w, c)
+    out = xn * params["scale"] + params["bias"]
+    return out.astype(orig)
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(params: Params, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return out.astype(orig)
+
+
+def batch_norm_init(num_channels: int) -> Tuple[Params, Params]:
+    """Returns (params, state). State = running stats (torch BatchNorm2d)."""
+    params = {"scale": jnp.ones((num_channels,), jnp.float32),
+              "bias": jnp.zeros((num_channels,), jnp.float32)}
+    state = {"mean": jnp.zeros((num_channels,), jnp.float32),
+             "var": jnp.ones((num_channels,), jnp.float32)}
+    return params, state
+
+
+def batch_norm(params: Params, state: Params, x: jax.Array, *, train: bool,
+               momentum: float = 0.1, eps: float = 1e-5
+               ) -> Tuple[jax.Array, Params]:
+    """BatchNorm2d over NHWC channels (reference lunar_evaluator.py:74-102,...).
+
+    Train: normalize with biased batch stats; running stats updated with the
+    unbiased variance (torch semantics). Under a sharded batch axis inside
+    jit, jnp.mean over the full array is the *global* mean — XLA inserts the
+    cross-replica reduction, giving sync-BN for free (documented deviation:
+    the reference is single-device so per-device==global there).
+    Eval: running stats. Returns (y, new_state).
+    """
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    if train:
+        axes = (0, 1, 2)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    out = (x32 - mean) * lax.rsqrt(var + eps) * params["scale"] + params["bias"]
+    return out.astype(orig), new_state
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+def dropout(x: jax.Array, rate: float, *, rng: Optional[jax.Array],
+            train: bool) -> jax.Array:
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def dropout2d(x: jax.Array, rate: float, *, rng: Optional[jax.Array],
+              train: bool) -> jax.Array:
+    """Channel dropout (torch Dropout2d): zero whole channels per sample."""
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0], 1, 1, x.shape[-1]))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    """AdaptiveAvgPool2d(1) + flatten, NHWC -> [B, C]."""
+    return jnp.mean(x, axis=(1, 2))

@@ -1,0 +1,186 @@
+"""Unit tests for the ops tier: conv/transpose torch parity, norms, attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tF
+
+from lunaris_orion_tpu.ops import layers, attention
+from lunaris_orion_tpu.ops.activations import mish
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class TestConvTorchParity:
+    def test_conv2d_matches_torch(self, rng):
+        x = jax.random.normal(rng, (2, 16, 16, 5))
+        p = layers.conv2d_init(jax.random.fold_in(rng, 1), 5, 7, 3)
+        out = layers.conv2d(p, x)
+        # torch: NCHW, OIHW
+        tx = torch.tensor(_np(x).transpose(0, 3, 1, 2))
+        tw = torch.tensor(_np(p["w"]).transpose(3, 2, 0, 1))
+        tb = torch.tensor(_np(p["b"]))
+        tout = tF.conv2d(tx, tw, tb, padding=1).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(_np(out), tout, rtol=1e-4, atol=1e-5)
+
+    def test_strided_conv_matches_torch(self, rng):
+        x = jax.random.normal(rng, (2, 16, 16, 4))
+        p = layers.conv2d_init(jax.random.fold_in(rng, 2), 4, 8, 3)
+        out = layers.conv2d(p, x, stride=2)
+        assert out.shape == (2, 8, 8, 8)
+        tx = torch.tensor(_np(x).transpose(0, 3, 1, 2))
+        tw = torch.tensor(_np(p["w"]).transpose(3, 2, 0, 1))
+        tout = tF.conv2d(tx, tw, torch.tensor(_np(p["b"])), stride=2,
+                         padding=1).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(_np(out), tout, rtol=1e-4, atol=1e-5)
+
+    def test_conv_transpose_matches_torch(self, rng):
+        """Pins the dilated-conv realization of ConvTranspose2d(4,2,1).
+
+        torch weight [in, out, kh, kw]; ours is the equivalent regular-conv
+        weight: spatially flipped, HWIO.
+        """
+        x = jax.random.normal(rng, (2, 8, 8, 6))
+        p = layers.conv2d_transpose_init(jax.random.fold_in(rng, 3), 6, 4, 4)
+        out = layers.conv2d_transpose(p, x)
+        assert out.shape == (2, 16, 16, 4)
+        w = _np(p["w"])  # [kh, kw, in, out]
+        tw = torch.tensor(w[::-1, ::-1].copy().transpose(2, 3, 0, 1))
+        tx = torch.tensor(_np(x).transpose(0, 3, 1, 2))
+        tout = tF.conv_transpose2d(tx, tw, torch.tensor(_np(p["b"])),
+                                   stride=2, padding=1)
+        np.testing.assert_allclose(_np(out), tout.permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_depthwise_conv_matches_torch(self, rng):
+        x = jax.random.normal(rng, (2, 8, 8, 8))
+        p = layers.conv2d_init(jax.random.fold_in(rng, 4), 8, 8, 5, groups=8)
+        out = layers.conv2d(p, x, groups=8)
+        tx = torch.tensor(_np(x).transpose(0, 3, 1, 2))
+        tw = torch.tensor(_np(p["w"]).transpose(3, 2, 0, 1))
+        tout = tF.conv2d(tx, tw, torch.tensor(_np(p["b"])), padding=2,
+                         groups=8).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(_np(out), tout, rtol=1e-4, atol=1e-5)
+
+
+class TestNorms:
+    def test_group_norm_matches_torch(self, rng):
+        x = jax.random.normal(rng, (2, 8, 8, 16))
+        p = layers.group_norm_init(16)
+        out = layers.group_norm(p, x, groups=8)
+        tx = torch.tensor(_np(x).transpose(0, 3, 1, 2))
+        tout = tF.group_norm(tx, 8, torch.ones(16), torch.zeros(16), 1e-5)
+        np.testing.assert_allclose(_np(out),
+                                   tout.permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_batch_norm_train_and_eval(self, rng):
+        x = jax.random.normal(rng, (4, 8, 8, 6))
+        p, s = layers.batch_norm_init(6)
+        out, ns = layers.batch_norm(p, s, x, train=True)
+        # Normalized output has ~zero mean / unit var per channel
+        m = jnp.mean(out, axis=(0, 1, 2))
+        v = jnp.var(out, axis=(0, 1, 2))
+        np.testing.assert_allclose(_np(m), 0, atol=1e-5)
+        np.testing.assert_allclose(_np(v), 1, atol=1e-3)
+        # Running stats moved toward batch stats (torch momentum 0.1)
+        bm = jnp.mean(x, axis=(0, 1, 2))
+        np.testing.assert_allclose(_np(ns["mean"]), _np(0.1 * bm), atol=1e-5)
+        # Eval uses running stats and leaves them unchanged
+        out_e, ns_e = layers.batch_norm(p, ns, x, train=False)
+        assert ns_e is ns
+
+    def test_batch_norm_matches_torch_train(self, rng):
+        x = jax.random.normal(rng, (4, 5, 5, 3))
+        p, s = layers.batch_norm_init(3)
+        out, ns = layers.batch_norm(p, s, x, train=True)
+        tbn = torch.nn.BatchNorm2d(3)
+        tbn.train()
+        tout = tbn(torch.tensor(_np(x).transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(_np(out),
+                                   tout.detach().permute(0, 2, 3, 1).numpy(),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(_np(ns["mean"]),
+                                   tbn.running_mean.numpy(), atol=1e-5)
+        np.testing.assert_allclose(_np(ns["var"]),
+                                   tbn.running_var.numpy(), rtol=1e-4)
+
+    def test_mish_matches_torch(self, rng):
+        x = jax.random.normal(rng, (128,)) * 4
+        out = mish(x)
+        tout = tF.mish(torch.tensor(_np(x))).numpy()
+        np.testing.assert_allclose(_np(out), tout, rtol=1e-5, atol=1e-6)
+
+
+class TestAttention:
+    def test_flash_matches_full(self, rng):
+        """Blockwise online-softmax == full attention."""
+        b, h, n, d = 2, 4, 64, 8
+        ks = jax.random.split(rng, 4)
+        q = jax.random.normal(ks[0], (b, h, n, d))
+        k = jax.random.normal(ks[1], (b, h, n, d))
+        v = jax.random.normal(ks[2], (b, h, n, d))
+        bias = jax.random.normal(ks[3], (h, n)) * 0.1
+        full = attention.full_attention(q, k, v, bias)
+        flash = attention.flash_attention_xla(q, k, v, bias,
+                                              block_q=16, block_k=16)
+        np.testing.assert_allclose(_np(flash), _np(full), rtol=1e-5, atol=1e-5)
+
+    def test_rel_pos_interp_matches_torch(self, rng):
+        """align_corners=True bilinear resize of the factorized rel-pos."""
+        heads, s, H = 3, 8, 13
+        p = jax.random.normal(rng, (heads, s))
+        ours = attention._interp_align_corners(p, H)
+        tin = torch.tensor(_np(p)).reshape(1, heads, s, 1)
+        tout = tF.interpolate(tin, size=(H, 1), mode="bilinear",
+                              align_corners=True)
+        np.testing.assert_allclose(_np(ours),
+                                   tout.numpy().reshape(heads, H),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_module_shapes_and_grad(self, rng):
+        c, heads = 16, 4
+        p = attention.attention_init(rng, c, num_heads=heads, rel_pos_size=4)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 8, 8, c))
+        out = attention.spatial_attention_reference(p, x, num_heads=heads)
+        assert out.shape == x.shape
+
+        def loss(pp):
+            return jnp.sum(attention.spatial_attention_reference(
+                pp, x, num_heads=heads, impl="flash") ** 2)
+
+        grads = jax.grad(loss)(p)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert jnp.all(jnp.isfinite(leaf))
+
+    def test_key_bias_changes_output(self, rng):
+        """The rel-pos bias must influence the result (reference defect was a
+        per-query constant that softmax removed — a no-op)."""
+        c, heads = 16, 4
+        p = attention.attention_init(rng, c, num_heads=heads, rel_pos_size=4)
+        p2 = dict(p, rel_pos_h=p["rel_pos_h"] + 1.7, rel_pos_w=p["rel_pos_w"] - 0.9)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (1, 8, 8, c))
+        o1 = attention.spatial_attention_reference(p, x, num_heads=heads)
+        o2 = attention.spatial_attention_reference(p2, x, num_heads=heads)
+        assert not np.allclose(_np(o1), _np(o2))
+
+
+class TestDropout:
+    def test_dropout_scaling(self, rng):
+        x = jnp.ones((1000,))
+        out = layers.dropout(x, 0.5, rng=rng, train=True)
+        assert abs(float(jnp.mean(out)) - 1.0) < 0.1
+        assert float(jnp.max(out)) == 2.0
+        out_eval = layers.dropout(x, 0.5, rng=rng, train=False)
+        np.testing.assert_array_equal(_np(out_eval), _np(x))
+
+    def test_dropout2d_channelwise(self, rng):
+        x = jnp.ones((4, 8, 8, 16))
+        out = layers.dropout2d(x, 0.5, rng=rng, train=True)
+        # each (sample, channel) slice is all-zero or all-scaled
+        per = np.asarray(jnp.std(out, axis=(1, 2)))
+        np.testing.assert_allclose(per, 0, atol=1e-6)
