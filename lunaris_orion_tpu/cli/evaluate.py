@@ -1,0 +1,46 @@
+"""Evaluator CLI — standalone teacher quality scoring of images/shards."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Score images with the MoE quality teacher")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--input", type=str, required=True,
+                   help="directory of PNGs and/or sprites_*.npy shards")
+    p.add_argument("--output", type=str, default=None,
+                   help="write scores JSON here (default: stdout summary)")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--best", action="store_true")
+    p.add_argument("--device", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+
+    ev = QualityEvaluator(args.checkpoint, best=args.best)
+    results = ev.score_directory(args.input, batch_size=args.batch_size)
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+    if results:
+        import numpy as np
+        mean_q = float(np.mean([r["mean_quality"] for r in results.values()]))
+        print(f"Scored {len(results)} images: mean quality {mean_q:.4f}"
+              + (f"; wrote {args.output}" if args.output else ""))
+    else:
+        print("No images found.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

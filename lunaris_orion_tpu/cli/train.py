@@ -1,0 +1,115 @@
+"""Training CLI — flag-for-flag compatible with the reference trainer.
+
+All 35 argparse flags of train_hybrid.py:1076-1133 (inventory SURVEY.md
+§2.8), same names and defaults, plus TPU-native extensions under
+"tpu options". Flags the reference parses but ignores (--chunk_size,
+--memory_efficient, --compile, --num_workers) are accepted for drop-in
+compatibility and noted in help text.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from lunaris_orion_tpu.config import TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Hybrid VAE+Teacher pixel-art training (TPU-native)")
+    d = TrainConfig()
+
+    g = p.add_argument_group("data")
+    g.add_argument("--data_dir", type=str, required=True,
+                   help="dir with sprites_*.npy + labels_*.csv")
+    g.add_argument("--output_dir", type=str, default=d.output_dir)
+    g.add_argument("--resume_from", type=str, default=None,
+                   help="checkpoint dir to resume from")
+
+    g = p.add_argument_group("training")
+    g.add_argument("--batch_size", type=int, default=d.batch_size)
+    g.add_argument("--gradient_accumulation_steps", type=int,
+                   default=d.gradient_accumulation_steps)
+    g.add_argument("--chunk_size", type=int, default=d.chunk_size,
+                   help="compat flag; attention blocking is autotuned")
+    g.add_argument("--num_epochs", type=int, default=d.num_epochs)
+    g.add_argument("--num_workers", type=int, default=d.num_workers,
+                   help="compat flag; the input pipeline is device-side")
+    g.add_argument("--seed", type=int, default=d.seed)
+    g.add_argument("--compile", action="store_true",
+                   help="compat flag; steps are always jit-compiled")
+    g.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 compute (TPU-native; no loss scaling needed)")
+
+    g = p.add_argument_group("model")
+    g.add_argument("--latent_dim", type=int, default=d.latent_dim)
+    g.add_argument("--embedding_dim", type=int, default=d.embedding_dim)
+    g.add_argument("--feature_dim", type=int, default=d.feature_dim)
+    g.add_argument("--num_experts", type=int, default=d.num_experts)
+
+    g = p.add_argument_group("optimizer")
+    g.add_argument("--vae_lr", type=float, default=d.vae_lr)
+    g.add_argument("--teacher_lr", type=float, default=d.teacher_lr)
+    g.add_argument("--min_lr", type=float, default=d.min_lr)
+    g.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    g.add_argument("--max_grad_norm", type=float, default=d.max_grad_norm)
+    g.add_argument("--scheduler_t0", type=int, default=d.scheduler_t0)
+
+    g = p.add_argument_group("loss weights")
+    g.add_argument("--recon_weight", type=float, default=d.recon_weight)
+    g.add_argument("--kl_weight", type=float, default=d.kl_weight)
+    g.add_argument("--quality_weight", type=float, default=d.quality_weight)
+
+    g = p.add_argument_group("logging / checkpoints")
+    g.add_argument("--log_every", type=int, default=d.log_every)
+    g.add_argument("--save_every", type=int, default=d.save_every)
+    g.add_argument("--sample_every", type=int, default=d.sample_every)
+    g.add_argument("--keep_n_checkpoints", type=int,
+                   default=d.keep_n_checkpoints)
+    g.add_argument("--early_stopping_patience", type=int,
+                   default=d.early_stopping_patience)
+    g.add_argument("--eval_save_freq", type=int, default=d.eval_save_freq)
+
+    g = p.add_argument_group("rl")
+    g.add_argument("--reward_scale", type=float, default=d.reward_scale)
+    g.add_argument("--semantic_weight", type=float, default=d.semantic_weight)
+    g.add_argument("--baseline_momentum", type=float,
+                   default=d.baseline_momentum)
+
+    g = p.add_argument_group("device")
+    g.add_argument("--force_cpu", action="store_true")
+    g.add_argument("--memory_efficient", action="store_true",
+                   help="compat flag (a no-op in the reference too)")
+
+    g = p.add_argument_group("tpu options")
+    g.add_argument("--image_size", type=int, default=d.image_size)
+    g.add_argument("--mesh_shape", type=int, nargs=2, default=None,
+                   metavar=("DATA", "MODEL"),
+                   help="mesh layout, e.g. 4 2; default: all devices on data")
+    g.add_argument("--val_fraction", type=float, default=d.val_fraction)
+    g.add_argument("--prefetch_depth", type=int, default=d.prefetch_depth)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    kw = vars(args).copy()
+    if kw.get("mesh_shape") is not None:
+        kw["mesh_shape"] = tuple(kw["mesh_shape"])
+    return TrainConfig(**kw)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed)
+    cfg = config_from_args(args)
+    from lunaris_orion_tpu.train.loop import Trainer
+    trainer = Trainer(cfg)
+    result = trainer.train()
+    trainer.logger.info("Done: %s", result)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

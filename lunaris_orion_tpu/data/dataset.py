@@ -1,0 +1,178 @@
+"""Sprite-shard dataset and the device-feeding batch loader.
+
+Data contract (identical to the reference, train_hybrid.py:100-147 /
+generate.py:858-904): a directory of
+  * `sprites*.npy` — uint8 arrays of shape (N, H, W, 3), H=W=128,
+  * `labels*.csv`  — rows with columns filename, category, prompt, seed,
+    pixel_size, guidance_scale, pag_scale, num_steps,
+with total row count equal to total sprite count.
+
+TPU-native differences from the torch DataLoader pipeline
+(train_hybrid.py:529-585):
+  * sprites stay uint8 end-to-end on the host; normalization to [-1,1]
+    happens on device inside the jitted train step (the torch pipeline does
+    float conversion + permute per sample in CPU workers, :181-182),
+  * batches are gathered from the memmaps with vectorized per-shard fancy
+    indexing (no per-item Python hop, no worker processes / IPC),
+  * a background thread stages the next batches onto the device
+    (`jax.device_put` with the batch NamedSharding) so host IO overlaps
+    device compute.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+LABEL_COLUMNS = ("filename", "category", "prompt", "seed", "pixel_size",
+                 "guidance_scale", "pag_scale", "num_steps")
+
+
+class SpriteDataset:
+    """Memory-mapped multi-shard sprite dataset with CSV metadata."""
+
+    def __init__(self, data_dir: str, *, image_size: int = 128,
+                 load_labels: bool = True, validate_counts: bool = True):
+        self.data_dir = Path(data_dir)
+        self.image_size = image_size
+        self.sprites_files = sorted(self.data_dir.glob("sprites*.npy"))
+        self.labels_files = sorted(self.data_dir.glob("labels*.csv"))
+        if not self.sprites_files or (load_labels and not self.labels_files):
+            raise ValueError(
+                f"No sprites or labels files found in {data_dir}")
+
+        self.shards: List[np.memmap] = []
+        for f in self.sprites_files:
+            arr = np.load(f, mmap_mode="r")
+            if arr.shape[1:] != (image_size, image_size, 3):
+                raise ValueError(
+                    f"Expected {image_size}x{image_size}x3 images in {f}, "
+                    f"got {arr.shape[1:]}")
+            self.shards.append(arr)
+            logger.info("Loaded %s with %d images", f.name, len(arr))
+        self.cumulative = np.cumsum([0] + [len(s) for s in self.shards])
+
+        self.labels = None
+        if load_labels and self.labels_files:
+            import pandas as pd
+            frames = []
+            for f in self.labels_files:
+                for chunk in pd.read_csv(f, chunksize=10000):
+                    frames.append(chunk)
+            self.labels = pd.concat(frames, ignore_index=True)
+            if validate_counts:
+                assert len(self.labels) == len(self), (
+                    f"Mismatch between total sprites ({len(self)}) and "
+                    f"labels ({len(self.labels)})")
+
+    def __len__(self) -> int:
+        return int(self.cumulative[-1])
+
+    def metadata(self, idx: int) -> dict:
+        if self.labels is None:
+            return {}
+        row = self.labels.iloc[idx]
+        return {c: row[c] for c in LABEL_COLUMNS if c in row}
+
+    def gather(self, indices: np.ndarray) -> np.ndarray:
+        """Vectorized uint8 gather across shards -> [n, H, W, 3]."""
+        indices = np.asarray(indices)
+        shard_ids = np.searchsorted(self.cumulative, indices, side="right") - 1
+        out = np.empty((len(indices), self.image_size, self.image_size, 3),
+                       np.uint8)
+        for sid in np.unique(shard_ids):
+            sel = np.flatnonzero(shard_ids == sid)
+            local = indices[sel] - self.cumulative[sid]
+            order = np.argsort(local)  # sorted memmap reads
+            out[sel[order]] = self.shards[sid][local[order]]
+        return out
+
+
+def train_val_split(n: int, val_fraction: float, seed: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic shuffled split (reference: random_split 90/10 with the
+    global torch seed, train_hybrid.py:551-555)."""
+    perm = np.random.default_rng(seed).permutation(n)
+    n_val = int(round(n * val_fraction))
+    return perm[n_val:], perm[:n_val]
+
+
+class BatchLoader:
+    """Yields device-resident uint8 batches [accum, micro_b, H, W, 3].
+
+    Shuffles per epoch with a deterministic per-epoch rng; drops the ragged
+    tail (reference drop_last=True, train_hybrid.py:569). If `sharding` is
+    given, batches are staged to devices by a prefetch thread.
+    """
+
+    def __init__(self, dataset: SpriteDataset, indices: np.ndarray, *,
+                 batch_size: int, accum_steps: int = 1, seed: int = 0,
+                 shuffle: bool = True, sharding=None, prefetch: int = 2,
+                 squeeze_accum: bool = False):
+        self.ds = dataset
+        self.indices = np.asarray(indices)
+        self.batch_size = batch_size
+        self.accum = accum_steps
+        self.seed = seed
+        self.shuffle = shuffle
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.squeeze_accum = squeeze_accum and accum_steps == 1
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.indices) // (self.batch_size * self.accum)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _host_batches(self) -> Iterator[np.ndarray]:
+        idx = self.indices
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            idx = rng.permutation(idx)
+        step = self.batch_size * self.accum
+        for start in range(0, len(idx) - step + 1, step):
+            chunk = idx[start:start + step]
+            flat = self.ds.gather(chunk)
+            if self.squeeze_accum:
+                yield flat
+            else:
+                yield flat.reshape(self.accum, self.batch_size,
+                                   *flat.shape[1:])
+
+    def __iter__(self):
+        if self.sharding is None:
+            yield from self._host_batches()
+            return
+
+        import jax
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for hb in self._host_batches():
+                    q.put(jax.device_put(hb, self.sharding))
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        if err:
+            raise err[0]

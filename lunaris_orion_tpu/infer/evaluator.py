@@ -1,0 +1,92 @@
+"""Teacher-based quality scoring of existing images (evaluator CLI backend).
+
+The reference exposes the teacher only inside training; its docs describe a
+standalone quality assessor (lunar_evaluator.py module docstring, items 1-4).
+This provides that: score a directory of PNGs or a sprites_*.npy shard.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lunaris_orion_tpu.config import TrainConfig
+from lunaris_orion_tpu.models import teacher as teacher_mod
+
+
+class QualityEvaluator:
+    def __init__(self, checkpoint_dir: str, *, best: bool = False,
+                 config: Optional[TrainConfig] = None):
+        from lunaris_orion_tpu.train.checkpoint import CheckpointService
+        from lunaris_orion_tpu.train.state import create_state
+
+        ckpt = CheckpointService(checkpoint_dir)
+        self.cfg = config or ckpt.load_config()
+        if self.cfg is None:
+            raise FileNotFoundError(
+                f"no config.json beside checkpoints in {checkpoint_dir}")
+        self.tcfg = self.cfg.teacher_config()
+        abstract = jax.eval_shape(
+            lambda k: create_state(k, self.cfg, self.cfg.vae_config(),
+                                   self.tcfg), jax.random.PRNGKey(0))
+        state = ckpt.restore(abstract, best=best)
+        self.params = state.teacher_params
+        self.stats = state.teacher_stats
+        tcfg = self.tcfg
+
+        @jax.jit
+        def _score(tp, ts, x):
+            out, _ = teacher_mod.apply(tp, ts, x, cfg=tcfg, train=False)
+            return (out["quality_scores"], out["expert_weights"],
+                    out["semantic_score"], out["style_embedding"])
+
+        self._score = _score
+
+    def score_batch(self, images: np.ndarray) -> List[Dict]:
+        """images: uint8 [n,H,W,3] or float [-1,1]. Returns per-image dicts
+        with the 4 quality metrics + overall + semantic + expert weights."""
+        x = jnp.asarray(images)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 127.5 - 1.0
+        q, w, s, _ = self._score(self.params, self.stats, x)
+        q, w, s = np.asarray(q), np.asarray(w), np.asarray(s)
+        names = ("edge_quality", "color_consistency", "detail", "overall")
+        return [
+            {
+                **{n: float(q[i, j]) for j, n in enumerate(names)},
+                "mean_quality": float(q[i].mean()),
+                "semantic_score": float(s[i, 0]),
+                "expert_weights": [float(v) for v in w[i]],
+            }
+            for i in range(len(q))
+        ]
+
+    def score_directory(self, path: str, *, batch_size: int = 64) -> Dict:
+        """Scores all PNGs or sprite shards under `path`."""
+        from PIL import Image
+        p = Path(path)
+        results: Dict[str, Dict] = {}
+        # Group PNGs by shape (a sample dir can also hold grid/montage images
+        # of a different size; each uniform group is scored as one batch).
+        by_shape: Dict[tuple, List] = {}
+        for f in sorted(p.glob("*.png")):
+            arr = np.asarray(Image.open(f).convert("RGB"), np.uint8)
+            by_shape.setdefault(arr.shape, []).append((f, arr))
+        for shape, items in by_shape.items():
+            for start in range(0, len(items), batch_size):
+                chunk = items[start:start + batch_size]
+                imgs = np.stack([a for _, a in chunk])
+                for (f, _), scores in zip(chunk, self.score_batch(imgs)):
+                    results[f.name] = scores
+        for shard in sorted(p.glob("sprites*.npy")):
+            arr = np.load(shard, mmap_mode="r")
+            for start in range(0, len(arr), batch_size):
+                imgs = np.asarray(arr[start:start + batch_size])
+                for i, scores in enumerate(self.score_batch(imgs)):
+                    results[f"{shard.name}[{start + i}]"] = scores
+        return results

@@ -1,0 +1,95 @@
+"""Orbax checkpointing with the reference's logical contents and the
+declared-but-missing features implemented for real.
+
+The reference saves {global_step, model/optimizer/scheduler state dicts,
+best_loss, vars(args)} to latest.pt and copies to best.pt
+(train_hybrid.py:594-615), resumes tolerantly (:791-836), and *parses but
+never implements* --save_every periodic saves and --keep_n_checkpoints
+rotation (SURVEY.md §2.2 #21). Here:
+  * step-numbered checkpoints with max_to_keep rotation (Orbax),
+  * a separate 'best' slot updated on best epoch loss,
+  * config snapshot stored alongside (JSON),
+  * restore onto explicit shardings (resume works on a different mesh).
+Schedules need no state: they are closed-form functions of the step count
+carried in the optimizer state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from lunaris_orion_tpu.config import TrainConfig
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointService:
+    def __init__(self, directory: str, *, keep_n: int = 5):
+        self.root = Path(directory).absolute()
+        self.root.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.root / "steps",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_n, create=True, enable_async_checkpointing=True),
+        )
+        self._best = ocp.CheckpointManager(
+            self.root / "best",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True, enable_async_checkpointing=False),
+        )
+
+    # -- save ---------------------------------------------------------------
+
+    def save(self, step: int, state: Any, *, config: Optional[TrainConfig] = None,
+             best: bool = False, force: bool = False) -> None:
+        # A periodic save and an epoch-end save can coincide on the same
+        # optimizer step; the step slot is immutable, so skip the duplicate.
+        if step not in self._mgr.all_steps():
+            self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+        if config is not None:
+            cfg_path = self.root / "config.json"
+            if not cfg_path.exists():
+                cfg_path.write_text(json.dumps(config.to_dict(), indent=2,
+                                               default=str))
+        if best:
+            self._best.save(step, args=ocp.args.StandardSave(state),
+                            force=True)
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+        self._best.wait_until_finished()
+
+    # -- restore ------------------------------------------------------------
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, abstract_state: Any, *, step: Optional[int] = None,
+                best: bool = False) -> Any:
+        """Restore onto the shardings/dtypes described by abstract_state
+        (from jax.eval_shape + sharding annotation)."""
+        mgr = self._best if best else self._mgr
+        step = step if step is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.root}")
+        logger.info("Restoring checkpoint step=%d best=%s from %s",
+                    step, best, self.root)
+        return mgr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+
+    def load_config(self) -> Optional[TrainConfig]:
+        cfg_path = self.root / "config.json"
+        if not cfg_path.exists():
+            return None
+        return TrainConfig.from_dict(json.loads(cfg_path.read_text()))
+
+    def close(self):
+        self.wait()
+        self._mgr.close()
+        self._best.close()

@@ -1,0 +1,308 @@
+"""Training orchestration — the TrainingManager equivalent.
+
+Maps the reference's trainer (train_hybrid.py:230-1070) onto the TPU runtime:
+
+  * one jitted, donated train step over a ('data','model') mesh — no
+    per-batch Python in the hot loop beyond the loader handoff;
+  * static XLA memory planning replaces the reactive OOM batch-halving
+    (train_hybrid.py:341-380): the step is compiled ahead of training, its
+    memory_analysis is checked against device HBM, and if it does not fit
+    the batch size is halved *before* training starts (north-star
+    requirement; same knobs --batch_size / --gradient_accumulation_steps);
+  * early stopping on epoch train loss — repaired: the reference's
+    epoch_losses list is never appended so its early stopping/best logic
+    compares against NaN and never fires (SURVEY.md §2.2 #19);
+  * periodic saves (--save_every) + rotation (--keep_n_checkpoints)
+    actually implemented (declared but missing in the reference, §2.2 #21);
+  * SIGINT-safe checkpoint-and-exit (train_hybrid.py:311,587-592);
+  * eval comparison grids every --eval_save_freq micro-steps
+    (train_hybrid.py:718-789);
+  * trigger flags (--log_every etc.) count micro-batches like the
+    reference's global_step (incremented per micro-batch, :949).
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lunaris_orion_tpu.config import TrainConfig
+from lunaris_orion_tpu.data.dataset import SpriteDataset, BatchLoader, train_val_split
+from lunaris_orion_tpu.models import teacher as teacher_mod
+from lunaris_orion_tpu.models import vae as vae_mod
+from lunaris_orion_tpu.parallel import make_mesh, state_shardings, batch_sharding
+from lunaris_orion_tpu.train.checkpoint import CheckpointService
+from lunaris_orion_tpu.train.state import create_state
+from lunaris_orion_tpu.train.step import make_train_step, make_eval_step, normalize_images
+from lunaris_orion_tpu.utils.image import comparison_grid
+from lunaris_orion_tpu.utils.logging import setup_logging
+from lunaris_orion_tpu.utils.metrics import MetricsWriter
+
+
+class EarlyStopping:
+    """Patience counter on epoch loss (train_hybrid.py:206-225)."""
+
+    def __init__(self, patience: int = 7, min_delta: float = 0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.counter = 0
+        self.best_loss: Optional[float] = None
+        self.early_stop = False
+
+    def __call__(self, loss: float) -> None:
+        if self.best_loss is None:
+            self.best_loss = loss
+        elif loss > self.best_loss + self.min_delta:
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+        else:
+            self.best_loss = loss
+            self.counter = 0
+
+
+def _fmt(metrics: dict) -> str:
+    return " ".join(f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.vcfg = cfg.vae_config()
+        self.tcfg = cfg.teacher_config()
+        self.out_dir = Path(cfg.output_dir)
+        self.logger = setup_logging(str(self.out_dir))
+        self.metrics = MetricsWriter(str(self.out_dir / "tensorboard"))
+        (self.out_dir / "eval_samples").mkdir(parents=True, exist_ok=True)
+
+        if cfg.force_cpu:
+            jax.config.update("jax_platforms", "cpu")
+        devices = jax.devices()
+        self.logger.info("Devices: %s", devices)
+
+        self.mesh = make_mesh(cfg.mesh_shape, devices=devices)
+        self.logger.info("Mesh: %s", dict(self.mesh.shape))
+        self._interrupted = False
+
+        # --- static batch planning + jitted step -------------------------
+        self.cfg = self._plan_batch_size(self.cfg)
+        cfg = self.cfg
+        abstract = jax.eval_shape(
+            lambda k: create_state(k, cfg, self.vcfg, self.tcfg),
+            jax.random.PRNGKey(cfg.seed))
+        self.shardings = state_shardings(
+            abstract, self.mesh, num_experts=self.tcfg.num_experts,
+            latent_dim=self.vcfg.latent_dim)
+        self.abstract_state = jax.tree_util.tree_map(
+            lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
+            abstract, self.shardings)
+        self.batch_shard = batch_sharding(self.mesh)
+
+        self.train_step = jax.jit(
+            make_train_step(cfg, self.vcfg, self.tcfg),
+            in_shardings=(self.shardings, self.batch_shard),
+            out_shardings=(self.shardings, None),
+            donate_argnums=0 if cfg.donate_state else ())
+        self.eval_step = jax.jit(
+            make_eval_step(cfg, self.vcfg, self.tcfg),
+            in_shardings=(self.shardings, batch_sharding(self.mesh, leading_accum=False)))
+
+        # --- data ---------------------------------------------------------
+        self.dataset = SpriteDataset(cfg.data_dir, image_size=cfg.image_size)
+        tr_idx, va_idx = train_val_split(len(self.dataset), cfg.val_fraction,
+                                         cfg.seed)
+        self.train_loader = BatchLoader(
+            self.dataset, tr_idx, batch_size=cfg.batch_size,
+            accum_steps=cfg.gradient_accumulation_steps, seed=cfg.seed,
+            sharding=self.batch_shard, prefetch=cfg.prefetch_depth)
+        self.val_loader = BatchLoader(
+            self.dataset, va_idx, batch_size=cfg.batch_size, accum_steps=1,
+            seed=cfg.seed, shuffle=False, squeeze_accum=True,
+            sharding=batch_sharding(self.mesh, leading_accum=False))
+        self.logger.info("Dataset: %d sprites (%d train / %d val batches)",
+                         len(self.dataset), len(self.train_loader),
+                         len(self.val_loader))
+
+        # --- state: fresh or resume ----------------------------------------
+        self.ckpt = CheckpointService(str(self.out_dir / "checkpoints"),
+                                      keep_n=cfg.keep_n_checkpoints)
+        if cfg.resume_from:
+            resume = CheckpointService(cfg.resume_from,
+                                       keep_n=cfg.keep_n_checkpoints) \
+                if Path(cfg.resume_from).absolute() != (self.out_dir / "checkpoints").absolute() \
+                else self.ckpt
+            self.state = resume.restore(self.abstract_state)
+            self.logger.info("Resumed at step %d", int(self.state.step))
+        else:
+            self.state = jax.jit(
+                lambda k: create_state(k, cfg, self.vcfg, self.tcfg),
+                out_shardings=self.shardings)(jax.random.PRNGKey(cfg.seed))
+
+        n_vae = vae_mod.param_count(self.state.vae_params)
+        n_teacher = teacher_mod.param_count(self.state.teacher_params)
+        self.logger.info("VAE params: %s | Teacher params: %s",
+                         f"{n_vae:,}", f"{n_teacher:,}")
+        self.early = EarlyStopping(cfg.early_stopping_patience)
+
+    # ------------------------------------------------------------------
+    def _plan_batch_size(self, cfg: TrainConfig) -> TrainConfig:
+        """Static memory planning: compile-check the step and halve the batch
+        until the executable fits device memory. No runtime OOM heuristics."""
+        dev = jax.devices()[0]
+        hbm = None
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats:
+            hbm = stats.get("bytes_limit")
+        if hbm is None:
+            return cfg  # CPU / unknown backend: nothing to plan against
+
+        min_bs = max(cfg.batch_size // 8, 1)  # reference floor (:253-257)
+        bs = cfg.batch_size
+        while True:
+            trial = cfg.replace(batch_size=bs)
+            try:
+                step = make_train_step(trial, self.vcfg, self.tcfg)
+                lowered = jax.jit(step).lower(
+                    jax.eval_shape(lambda k: create_state(k, trial, self.vcfg,
+                                                          self.tcfg),
+                                   jax.random.PRNGKey(0)),
+                    jax.ShapeDtypeStruct(
+                        (trial.gradient_accumulation_steps, bs,
+                         trial.image_size, trial.image_size, 3), jnp.uint8))
+                mem = lowered.compile().memory_analysis()
+                need = None
+                if mem is not None:
+                    need = (getattr(mem, "temp_size_in_bytes", 0)
+                            + getattr(mem, "argument_size_in_bytes", 0)
+                            + getattr(mem, "output_size_in_bytes", 0))
+                if need is None or need < 0.92 * hbm:
+                    if bs != cfg.batch_size:
+                        self.logger.warning(
+                            "Static memory plan: batch_size %d -> %d "
+                            "(step needs %.2f GB of %.2f GB HBM)",
+                            cfg.batch_size, bs,
+                            (need or 0) / 2**30, hbm / 2**30)
+                    return trial
+                self.logger.info(
+                    "batch %d needs %.2f GB > %.2f GB budget; halving",
+                    bs, need / 2**30, 0.92 * hbm / 2**30)
+            except Exception as e:  # resource errors at compile time
+                self.logger.info("compile at batch %d failed (%s); halving",
+                                 bs, type(e).__name__)
+            if bs <= min_bs:
+                return cfg.replace(batch_size=min_bs)
+            bs //= 2
+
+    # ------------------------------------------------------------------
+    def _handle_interrupt(self, signum, frame):
+        self.logger.warning("Interrupt received — saving checkpoint...")
+        self._interrupted = True
+
+    def _micro_crossed(self, every: int) -> bool:
+        """True if any micro-step in the last optimizer step hit `every`
+        (reference counts micro-batches, train_hybrid.py:945-952)."""
+        a = self.cfg.gradient_accumulation_steps
+        micro = int(self.state.step) * a
+        return (micro // every) != ((micro - a) // every) if every > 0 else False
+
+    def _save_eval_samples(self, host_batch: np.ndarray) -> None:
+        imgs = host_batch[0, :4]
+        x = normalize_images(jnp.asarray(imgs), jnp.float32)
+        recon, _, _ = vae_mod.apply(self.state.vae_params, x, rng=None,
+                                    cfg=self.vcfg, sample_posterior=False)
+        out, _ = teacher_mod.apply(self.state.teacher_params,
+                                   self.state.teacher_stats, recon,
+                                   cfg=self.tcfg, train=False)
+        grid = comparison_grid(np.asarray(x), np.asarray(recon),
+                               quality=np.asarray(out["quality_scores"]),
+                               semantic=np.asarray(out["semantic_score"]))
+        path = (self.out_dir / "eval_samples"
+                / f"comparison_{int(self.state.step)}_{int(time.time())}.png")
+        grid.save(path)
+        self.logger.info("Saved eval grid -> %s", path)
+
+    # ------------------------------------------------------------------
+    def train(self) -> dict:
+        cfg = self.cfg
+        old_sigint = signal.signal(signal.SIGINT, self._handle_interrupt)
+        result = {"stopped_early": False, "epochs": 0, "best_loss": float("inf")}
+        best_loss = float(self.state.best_loss) if np.isfinite(
+            float(self.state.best_loss)) else float("inf")
+        try:
+            for epoch in range(cfg.num_epochs):
+                self.train_loader.set_epoch(epoch)
+                t_epoch = time.time()
+                losses = []
+                n_img = 0
+                for batch in self.train_loader:
+                    self.state, m = self.train_step(self.state, batch)
+                    losses.append(float(m["total_loss"]))
+                    n_img += cfg.batch_size * cfg.gradient_accumulation_steps
+
+                    if self._micro_crossed(cfg.log_every):
+                        self.metrics.log(m, int(self.state.step) *
+                                         cfg.gradient_accumulation_steps)
+                        self.logger.info("step %d | %s",
+                                         int(self.state.step), _fmt(m))
+                    if self._micro_crossed(cfg.eval_save_freq):
+                        sample = self.dataset.gather(
+                            np.arange(min(4, len(self.dataset))))
+                        self._save_eval_samples(sample[None])
+                    if self._micro_crossed(cfg.save_every):
+                        self.ckpt.save(int(self.state.step), self.state,
+                                       config=cfg)
+                    if self._interrupted:
+                        raise KeyboardInterrupt
+                dt = time.time() - t_epoch
+
+                # ---- epoch summary (repaired: losses actually collected) --
+                avg_loss = float(np.mean(losses)) if losses else float("nan")
+                val_metrics = {}
+                for vb in self.val_loader:
+                    vm = self.eval_step(self.state, vb)
+                    for k, v in vm.items():
+                        val_metrics.setdefault(k, []).append(float(v))
+                val_metrics = {k: float(np.mean(v))
+                               for k, v in val_metrics.items()}
+                ips = n_img / dt if dt > 0 else 0.0
+                self.logger.info(
+                    "epoch %d/%d | avg_loss=%.4f | %s | %.1f sprites/s (%.1fs)",
+                    epoch + 1, cfg.num_epochs, avg_loss,
+                    _fmt(val_metrics), ips, dt)
+                self.metrics.log({"epoch_loss": avg_loss,
+                                  "sprites_per_sec": ips, **val_metrics},
+                                 int(self.state.step) *
+                                 cfg.gradient_accumulation_steps,
+                                 prefix="epoch")
+
+                is_best = np.isfinite(avg_loss) and avg_loss < best_loss
+                if is_best:
+                    best_loss = avg_loss
+                    self.state = self.state.replace(
+                        best_loss=jnp.asarray(best_loss, jnp.float32))
+                self.ckpt.save(int(self.state.step), self.state, config=cfg,
+                               best=is_best, force=True)
+                result["epochs"] = epoch + 1
+                result["best_loss"] = best_loss
+
+                self.early(avg_loss if np.isfinite(avg_loss) else float("inf"))
+                if self.early.early_stop:
+                    self.logger.info("Early stopping at epoch %d", epoch + 1)
+                    result["stopped_early"] = True
+                    break
+        except KeyboardInterrupt:
+            self.logger.warning("Interrupted — saving final checkpoint")
+            self.ckpt.save(int(self.state.step), self.state, config=cfg,
+                           force=True)
+            result["interrupted"] = True
+        finally:
+            self.ckpt.wait()
+            self.metrics.close()
+            signal.signal(signal.SIGINT, old_sigint)
+        return result

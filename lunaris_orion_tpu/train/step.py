@@ -1,0 +1,174 @@
+"""The jitted hybrid train step.
+
+One call == one optimizer step == `gradient_accumulation_steps` micro-batches
+processed by `lax.scan` (replacing the reference's Python-side accumulation
+loop, train_hybrid.py:907-926). Everything — uint8 normalization, both model
+forwards, the RL reward/baseline, both grads, clipping, both AdamW updates,
+metric reduction — compiles into a single XLA program. Under a sharded mesh
+the gradient all-reduce over ICI is inserted by the SPMD partitioner.
+
+Per micro-batch (mirrors _process_batch, train_hybrid.py:838-905):
+  1. normalize uint8 -> [-1,1] in the compute dtype (on device; the torch
+     pipeline does this per-sample on CPU workers, train_hybrid.py:181-182),
+  2. VAE forward (posterior sample),
+  3. teacher forward on the *inputs* (outside grad == torch.no_grad,
+     :853-855) -> prompt embeddings; BN stats advance,
+  4. grad of [vae_loss(recon,kl,pg) + teacher_loss(quality)] wrt both models
+     — equivalent to the reference's two separate backwards because recon is
+     stop_gradient'd into the teacher and the advantage is stop_gradient'd,
+  5. baseline EMA carried through the scan (the torch code syncs to host
+     via .item() every batch, :876-879 — ours never leaves the device).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lunaris_orion_tpu.config import TrainConfig, VAEConfig, TeacherConfig
+from lunaris_orion_tpu.models import teacher as teacher_mod
+from lunaris_orion_tpu.models import vae as vae_mod
+from lunaris_orion_tpu.train import losses as losses_mod
+from lunaris_orion_tpu.train.losses import LossWeights
+from lunaris_orion_tpu.train.state import TrainState, make_optimizers
+
+Metrics = Dict[str, jax.Array]
+
+
+def normalize_images(batch: jax.Array, dtype) -> jax.Array:
+    """uint8 [0,255] -> [-1,1] (train_hybrid.py:181); float passes through."""
+    if batch.dtype == jnp.uint8:
+        return batch.astype(dtype) / jnp.asarray(127.5, dtype) - 1.0
+    return batch.astype(dtype)
+
+
+def make_train_step(cfg: TrainConfig,
+                    vcfg: VAEConfig | None = None,
+                    tcfg: TeacherConfig | None = None,
+                    *, attn_impl: str = "auto"):
+    """Returns train_step(state, images[A, mb, H, W, C]) -> (state, metrics)."""
+    vcfg = vcfg or cfg.vae_config()
+    tcfg = tcfg or cfg.teacher_config()
+    vae_tx, teacher_tx = make_optimizers(cfg)
+    w = LossWeights(cfg.recon_weight, cfg.kl_weight, cfg.quality_weight,
+                    cfg.reward_scale, cfg.semantic_weight,
+                    cfg.baseline_momentum)
+    compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+
+    def micro_step(params, carry, batch):
+        vae_params, teacher_params = params
+        baseline, binit, stats, rng = carry
+        rng, r_vae, r_t1, r_t2 = jax.random.split(rng, 4)
+        x = normalize_images(batch, compute_dtype)
+
+        # (3) teacher on inputs — outside grad (torch.no_grad parity).
+        t1_out, stats1 = teacher_mod.apply(
+            teacher_params, stats, x, cfg=tcfg, train=True, rng=r_t1,
+            attn_impl=attn_impl)
+        prompt_emb = jax.lax.stop_gradient(t1_out["prompt_embedding"])
+
+        def loss_fn(diff_params):
+            vp, tp = diff_params
+            recon, mu, logvar = vae_mod.apply(vp, x, rng=r_vae, cfg=vcfg)
+            recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
+            t2_out, stats2 = teacher_mod.apply(
+                tp, stats1, jax.lax.stop_gradient(recon), cfg=tcfg,
+                prompt_embedding=prompt_emb, train=True, rng=r_t2,
+                attn_impl=attn_impl)
+            vae_loss, teacher_loss, nb, nbi, metrics = losses_mod.hybrid_losses(
+                recon_loss=recon_loss, kl_loss=kl_loss,
+                quality_scores=t2_out["quality_scores"],
+                semantic_score=t2_out["semantic_score"],
+                baseline=baseline, baseline_initialized=binit, w=w)
+            return vae_loss + teacher_loss, (nb, nbi, stats2, metrics)
+
+        grads, (nb, nbi, stats2, metrics) = jax.grad(
+            loss_fn, has_aux=True)((vae_params, teacher_params))
+        return grads, (nb, nbi, stats2, rng), metrics
+
+    def train_step(state: TrainState, images: jax.Array
+                   ) -> Tuple[TrainState, Metrics]:
+        params = (state.vae_params, state.teacher_params)
+        accum = images.shape[0]
+
+        def scan_body(carry, batch):
+            grads_acc, inner = carry
+            grads, inner, metrics = micro_step(params, inner, batch)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, inner), metrics
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, jnp.float32), params)
+        inner0 = (state.baseline, state.baseline_initialized,
+                  state.teacher_stats, state.rng)
+        (grads_sum, inner), metrics_stack = jax.lax.scan(
+            scan_body, (zero_grads, inner0), images)
+        baseline, binit, stats, rng = inner
+
+        inv = 1.0 / accum
+        vae_grads, teacher_grads = jax.tree_util.tree_map(
+            lambda g: g * inv, grads_sum)
+
+        vae_updates, vae_opt = vae_tx.update(
+            vae_grads, state.vae_opt, state.vae_params)
+        vae_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype),
+            state.vae_params, vae_updates)
+        teacher_updates, teacher_opt = teacher_tx.update(
+            teacher_grads, state.teacher_opt, state.teacher_params)
+        teacher_params = jax.tree_util.tree_map(
+            lambda p, u: p + u.astype(p.dtype),
+            state.teacher_params, teacher_updates)
+
+        metrics = jax.tree_util.tree_map(
+            lambda m: jnp.mean(m.astype(jnp.float32)), metrics_stack)
+        metrics["baseline"] = baseline  # current EMA, not window mean
+
+        new_state = state.replace(
+            step=state.step + 1,
+            vae_params=vae_params,
+            teacher_params=teacher_params,
+            teacher_stats=stats,
+            vae_opt=vae_opt,
+            teacher_opt=teacher_opt,
+            baseline=baseline,
+            baseline_initialized=binit,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: TrainConfig,
+                   vcfg: VAEConfig | None = None,
+                   tcfg: TeacherConfig | None = None,
+                   *, attn_impl: str = "auto"):
+    """Deterministic validation: recon from the mean latent + KL + teacher
+    quality in eval mode. (The reference builds a val loader but never runs
+    validation — its early stopping reads an empty list, SURVEY.md §2.2 #19.
+    This is the repaired behavior.)"""
+    vcfg = vcfg or cfg.vae_config()
+    tcfg = tcfg or cfg.teacher_config()
+    compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+
+    def eval_step(state: TrainState, images: jax.Array) -> Metrics:
+        x = normalize_images(images, compute_dtype)
+        recon, mu, logvar = vae_mod.apply(
+            state.vae_params, x, rng=None, cfg=vcfg, sample_posterior=False)
+        recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
+        t_out, _ = teacher_mod.apply(
+            state.teacher_params, state.teacher_stats, recon, cfg=tcfg,
+            train=False, attn_impl=attn_impl)
+        val_loss = cfg.recon_weight * recon_loss + cfg.kl_weight * kl_loss
+        return {
+            "val_recon_loss": recon_loss,
+            "val_kl_loss": kl_loss,
+            "val_loss": val_loss,
+            "val_quality": jnp.mean(t_out["quality_scores"].astype(jnp.float32)),
+        }
+
+    return eval_step

@@ -1,0 +1,96 @@
+"""Data-tier tests: contract validation, gather, split, loader determinism."""
+
+import numpy as np
+import pytest
+
+from lunaris_orion_tpu.data.dataset import SpriteDataset, BatchLoader, train_val_split
+from lunaris_orion_tpu.data.synthetic import write_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sprites")
+    write_synthetic_dataset(d, 100, image_size=32, shards=3)
+    return d
+
+
+class TestSpriteDataset:
+    def test_multi_shard_load_and_len(self, data_dir):
+        ds = SpriteDataset(data_dir, image_size=32)
+        assert len(ds) == 100
+        assert len(ds.shards) == 3
+        assert len(ds.labels) == 100
+
+    def test_gather_cross_shard(self, data_dir):
+        ds = SpriteDataset(data_dir, image_size=32)
+        idx = np.array([0, 50, 99, 34, 33])  # spans shards, unsorted
+        out = ds.gather(idx)
+        assert out.shape == (5, 32, 32, 3) and out.dtype == np.uint8
+        for k, i in enumerate(idx):
+            sid = np.searchsorted(ds.cumulative, i, side="right") - 1
+            np.testing.assert_array_equal(
+                out[k], ds.shards[sid][i - ds.cumulative[sid]])
+
+    def test_metadata_columns(self, data_dir):
+        ds = SpriteDataset(data_dir, image_size=32)
+        md = ds.metadata(7)
+        assert set(md) == {"filename", "category", "prompt", "seed",
+                           "pixel_size", "guidance_scale", "pag_scale",
+                           "num_steps"}
+
+    def test_wrong_shape_rejected(self, tmp_path):
+        write_synthetic_dataset(tmp_path, 4, image_size=16)
+        with pytest.raises(ValueError, match="Expected 32x32x3"):
+            SpriteDataset(tmp_path, image_size=32)
+
+    def test_count_mismatch_rejected(self, tmp_path):
+        write_synthetic_dataset(tmp_path, 4, image_size=16)
+        import pandas as pd
+        f = next(tmp_path.glob("labels*.csv"))
+        pd.read_csv(f).iloc[:2].to_csv(f, index=False)
+        with pytest.raises(AssertionError, match="Mismatch"):
+            SpriteDataset(tmp_path, image_size=16)
+
+    def test_empty_dir_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="No sprites"):
+            SpriteDataset(tmp_path)
+
+
+class TestSplitAndLoader:
+    def test_split_deterministic_disjoint(self):
+        a1, b1 = train_val_split(100, 0.1, seed=42)
+        a2, b2 = train_val_split(100, 0.1, seed=42)
+        np.testing.assert_array_equal(a1, a2)
+        assert len(b1) == 10 and len(a1) == 90
+        assert not set(a1) & set(b1)
+        a3, _ = train_val_split(100, 0.1, seed=43)
+        assert not np.array_equal(a1, a3)
+
+    def test_loader_shapes_and_epoch_shuffle(self, data_dir):
+        ds = SpriteDataset(data_dir, image_size=32)
+        idx, _ = train_val_split(len(ds), 0.1, seed=0)
+        loader = BatchLoader(ds, idx, batch_size=4, accum_steps=2, seed=0)
+        batches = list(loader)
+        assert len(batches) == len(loader) == 90 // 8
+        assert batches[0].shape == (2, 4, 32, 32, 3)
+        assert batches[0].dtype == np.uint8
+        # same epoch -> same order; next epoch -> different
+        again = list(loader)
+        np.testing.assert_array_equal(batches[0], again[0])
+        loader.set_epoch(1)
+        other = list(loader)
+        assert not np.array_equal(batches[0], other[0])
+
+    def test_device_prefetch(self, data_dir):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from lunaris_orion_tpu.parallel import make_mesh
+        ds = SpriteDataset(data_dir, image_size=32)
+        mesh = make_mesh((8, 1))
+        shard = NamedSharding(mesh, P(None, "data"))
+        loader = BatchLoader(ds, np.arange(64), batch_size=8, accum_steps=2,
+                             sharding=shard)
+        got = list(loader)
+        assert len(got) == 4
+        assert got[0].sharding == shard
+        assert got[0].shape == (2, 8, 32, 32, 3)

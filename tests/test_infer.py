@@ -1,0 +1,87 @@
+"""Inference-tier tests: generator rejection sampling + evaluator scoring."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from lunaris_orion_tpu.config import TrainConfig, VAEConfig, TeacherConfig
+from lunaris_orion_tpu.train.checkpoint import CheckpointService
+from lunaris_orion_tpu.train.state import create_state
+
+CFG = TrainConfig(batch_size=4, latent_dim=16, feature_dim=16, num_experts=2,
+                  embedding_dim=8, image_size=16)
+VCFG = CFG.vae_config()
+TCFG = CFG.teacher_config()
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt")
+    state = create_state(jax.random.PRNGKey(0), CFG, VCFG, TCFG)
+    svc = CheckpointService(str(d), keep_n=2)
+    svc.save(0, state, config=CFG, best=True)
+    svc.close()
+    return d
+
+
+class TestGenerator:
+    def test_generate_and_save(self, ckpt_dir, tmp_path):
+        from lunaris_orion_tpu.infer.generator import ImageGenerator
+        gen = ImageGenerator(str(ckpt_dir))
+        imgs, meta = gen.generate(3, temperature=0.8, quality_threshold=0.0,
+                                  seed=7)
+        assert imgs.shape == (3, 16, 16, 3) and imgs.dtype == np.uint8
+        assert len(meta) == 3
+        assert all(0.0 <= m["quality"] <= 1.0 for m in meta)
+
+        out = tmp_path / "gen"
+        paths = gen.save_outputs(imgs, meta, str(out), prompt="test prompt")
+        pngs = list(out.glob("sample_*.png"))
+        assert len(pngs) == 3
+        assert list(out.glob("grid_*.png"))
+        meta_files = list(out.glob("metadata_*.json"))
+        assert meta_files
+        data = json.loads(meta_files[0].read_text())
+        assert data["prompt"] == "test prompt"
+        assert len(data["samples"]) == 3
+
+    def test_threshold_fallback(self, ckpt_dir):
+        """Impossible threshold: still returns n images, flagged."""
+        from lunaris_orion_tpu.infer.generator import ImageGenerator
+        gen = ImageGenerator(str(ckpt_dir))
+        imgs, meta = gen.generate(2, quality_threshold=1.1, max_attempts=2,
+                                  seed=1)
+        assert imgs.shape[0] == 2
+        assert all(m.get("below_threshold") for m in meta)
+
+    def test_seed_reproducible(self, ckpt_dir):
+        from lunaris_orion_tpu.infer.generator import ImageGenerator
+        gen = ImageGenerator(str(ckpt_dir))
+        a, _ = gen.generate(2, quality_threshold=0.0, seed=42)
+        b, _ = gen.generate(2, quality_threshold=0.0, seed=42)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestEvaluator:
+    def test_score_batch_fields(self, ckpt_dir):
+        from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+        ev = QualityEvaluator(str(ckpt_dir))
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (3, 16, 16, 3), dtype=np.uint8)
+        scores = ev.score_batch(imgs)
+        assert len(scores) == 3
+        s = scores[0]
+        assert {"edge_quality", "color_consistency", "detail", "overall",
+                "mean_quality", "semantic_score", "expert_weights"} <= set(s)
+        assert len(s["expert_weights"]) == TCFG.num_experts
+        np.testing.assert_allclose(sum(s["expert_weights"]), 1.0, rtol=1e-4)
+
+    def test_score_directory_shard(self, ckpt_dir, tmp_path):
+        from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+        from lunaris_orion_tpu.data.synthetic import write_synthetic_dataset
+        write_synthetic_dataset(tmp_path, 6, image_size=16)
+        ev = QualityEvaluator(str(ckpt_dir))
+        results = ev.score_directory(str(tmp_path), batch_size=4)
+        assert len(results) == 6

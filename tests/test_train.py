@@ -1,0 +1,129 @@
+"""Training-tier tests: schedule parity, hybrid step semantics, overfit smoke."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from lunaris_orion_tpu.config import TrainConfig, VAEConfig, TeacherConfig
+from lunaris_orion_tpu.train.schedule import cosine_warm_restarts
+from lunaris_orion_tpu.train.state import create_state
+from lunaris_orion_tpu.train.step import make_train_step, make_eval_step
+
+
+TINY_VCFG = VAEConfig(latent_dim=16, image_size=16, base_channels=16)
+TINY_TCFG = TeacherConfig(
+    num_experts=2, feature_dim=16, extractor_dim=16, extractor_stem=8,
+    branch_dim=8, expert_layers=1, intermediate_dim=16, embedding_dim=8,
+    num_heads=4, rel_pos_size=4, image_size=16)
+TINY_CFG = TrainConfig(batch_size=4, gradient_accumulation_steps=2,
+                       latent_dim=16, feature_dim=16, num_experts=2,
+                       embedding_dim=8, image_size=16, scheduler_t0=10,
+                       vae_lr=1e-3, teacher_lr=1e-3)
+
+
+class TestSchedule:
+    @pytest.mark.parametrize("t0,t_mult", [(10, 2), (7, 2), (10, 1)])
+    def test_matches_torch_warm_restarts(self, t0, t_mult):
+        sched = cosine_warm_restarts(1e-3, t0, eta_min=1e-6, t_mult=t_mult)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1e-3)
+        tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=t0, T_mult=t_mult, eta_min=1e-6)
+        ours, theirs = [], []
+        for step in range(100):
+            ours.append(float(sched(step)))
+            theirs.append(tsched.get_last_lr()[0])
+            opt.step()
+            tsched.step()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-9)
+
+
+def _fake_batch(key, cfg, accum=None):
+    a = accum if accum is not None else cfg.gradient_accumulation_steps
+    return jax.random.randint(
+        key, (a, cfg.batch_size, cfg.image_size, cfg.image_size, 3),
+        0, 256).astype(jnp.uint8)
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        key = jax.random.PRNGKey(0)
+        state = create_state(key, TINY_CFG, TINY_VCFG, TINY_TCFG)
+        # no donation here: the fixture state is reused across tests
+        step = jax.jit(make_train_step(TINY_CFG, TINY_VCFG, TINY_TCFG))
+        return state, step
+
+    def test_metrics_complete(self, setup):
+        state, step = setup
+        batch = _fake_batch(jax.random.PRNGKey(1), TINY_CFG)
+        state2, metrics = step(state, batch)
+        expected = {"recon_loss", "kl_loss", "quality_loss", "pg_loss",
+                    "semantic_reward", "quality_reward", "baseline",
+                    "advantage", "vae_loss", "teacher_loss", "total_loss",
+                    "quality_scores"}
+        assert expected == set(metrics)  # the reference's 13-metric dict
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
+        assert int(state2.step) == 1
+        assert bool(state2.baseline_initialized)
+
+    def test_params_update_and_stats_advance(self, setup):
+        state, step = setup
+        batch = _fake_batch(jax.random.PRNGKey(2), TINY_CFG)
+        s2, _ = step(state, batch)
+        dv = [not np.allclose(np.asarray(a), np.asarray(b))
+              for a, b in zip(jax.tree_util.tree_leaves(state.vae_params),
+                              jax.tree_util.tree_leaves(s2.vae_params))]
+        dt = [not np.allclose(np.asarray(a), np.asarray(b))
+              for a, b in zip(jax.tree_util.tree_leaves(state.teacher_params),
+                              jax.tree_util.tree_leaves(s2.teacher_params))]
+        assert all(dv), "every VAE param should move"
+        # Faithful-to-reference: semantic/style/prompt heads get no gradient
+        # (teacher_loss is quality-only and rewards are detached,
+        # train_hybrid.py:891-892), so ~20% of leaves only see weight decay.
+        assert sum(dt) > len(dt) * 0.6, "teacher params should move"
+        ds = [not np.allclose(np.asarray(a), np.asarray(b))
+              for a, b in zip(jax.tree_util.tree_leaves(state.teacher_stats),
+                              jax.tree_util.tree_leaves(s2.teacher_stats))]
+        assert any(ds), "BN stats should advance"
+
+    def test_overfit_decreases_recon(self):
+        """A few steps on one repeated batch must reduce recon loss."""
+        cfg = TINY_CFG.replace(vae_lr=3e-3, teacher_lr=1e-4,
+                               gradient_accumulation_steps=1, scheduler_t0=1000)
+        state = create_state(jax.random.PRNGKey(0), cfg, TINY_VCFG, TINY_TCFG)
+        step = jax.jit(make_train_step(cfg, TINY_VCFG, TINY_TCFG))
+        batch = _fake_batch(jax.random.PRNGKey(3), cfg, accum=1)
+        first = last = None
+        for i in range(12):
+            state, m = step(state, batch)
+            if first is None:
+                first = float(m["recon_loss"])
+            last = float(m["recon_loss"])
+        assert last < first * 0.9, (first, last)
+
+    def test_eval_step(self, setup):
+        state, _ = setup
+        ev = jax.jit(make_eval_step(TINY_CFG, TINY_VCFG, TINY_TCFG))
+        batch = _fake_batch(jax.random.PRNGKey(4), TINY_CFG)[0]
+        m = ev(state, batch)
+        assert {"val_recon_loss", "val_kl_loss", "val_loss",
+                "val_quality"} == set(m)
+        # deterministic: same batch twice -> identical loss
+        m2 = ev(state, batch)
+        assert float(m["val_loss"]) == float(m2["val_loss"])
+
+    def test_bf16_mixed_precision(self):
+        cfg = TINY_CFG.replace(mixed_precision=True)
+        state = create_state(jax.random.PRNGKey(0), cfg, TINY_VCFG, TINY_TCFG)
+        step = jax.jit(make_train_step(cfg, TINY_VCFG, TINY_TCFG))
+        _, m = step(state, _fake_batch(jax.random.PRNGKey(5), cfg))
+        assert np.isfinite(float(m["total_loss"]))
+        # params remain f32 master copies
+        for leaf in jax.tree_util.tree_leaves(state.vae_params):
+            assert leaf.dtype == jnp.float32
