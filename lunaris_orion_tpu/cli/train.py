@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh layout, e.g. 4 2; default: all devices on data")
     g.add_argument("--val_fraction", type=float, default=d.val_fraction)
     g.add_argument("--prefetch_depth", type=int, default=d.prefetch_depth)
+    g.add_argument("--profile_steps", type=int, default=d.profile_steps,
+                   help=">0: capture a jax.profiler trace of that many steps")
+    g.add_argument("--debug_nans", action="store_true",
+                   help="enable jax nan-checking (slow; debugging aid)")
     return p
 
 

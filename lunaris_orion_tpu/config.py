@@ -147,6 +147,8 @@ class TrainConfig:
     val_fraction: float = 0.1
     prefetch_depth: int = 2
     donate_state: bool = True
+    profile_steps: int = 0      # >0: capture a jax.profiler trace of steps 2..2+n
+    debug_nans: bool = False    # jax.config nan-checking (slow; for debugging)
 
     def vae_config(self) -> VAEConfig:
         return VAEConfig(latent_dim=self.latent_dim, image_size=self.image_size)

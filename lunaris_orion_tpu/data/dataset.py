@@ -59,6 +59,14 @@ class SpriteDataset:
             logger.info("Loaded %s with %d images", f.name, len(arr))
         self.cumulative = np.cumsum([0] + [len(s) for s in self.shards])
 
+        # Native C++ gather fast path (falls back to numpy transparently).
+        self._native = None
+        try:
+            from lunaris_orion_tpu.data.native import NativeGatherer
+            self._native = NativeGatherer(self.shards)
+        except Exception as e:
+            logger.debug("native gather disabled: %s", e)
+
         self.labels = None
         if load_labels and self.labels_files:
             import pandas as pd
@@ -82,8 +90,11 @@ class SpriteDataset:
         return {c: row[c] for c in LABEL_COLUMNS if c in row}
 
     def gather(self, indices: np.ndarray) -> np.ndarray:
-        """Vectorized uint8 gather across shards -> [n, H, W, 3]."""
+        """Vectorized uint8 gather across shards -> [n, H, W, 3].
+        Uses the native C++ gatherer when built (data/native.py)."""
         indices = np.asarray(indices)
+        if self._native is not None:
+            return self._native.gather(indices)
         shard_ids = np.searchsorted(self.cumulative, indices, side="right") - 1
         out = np.empty((len(indices), self.image_size, self.image_size, 3),
                        np.uint8)

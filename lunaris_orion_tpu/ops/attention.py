@@ -116,6 +116,8 @@ def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
 
     use_drop = train and dropout_rate > 0.0 and rng is not None
 
+    @jax.checkpoint  # recompute per q-block in backward: without this the
+    # kv-scan saves O(nq*nk*B*H*bq*bk) probability residuals (OOM at N=16k)
     def q_step(qi, q_blk):
         acc0 = jnp.zeros((b, nh, bq, d), jnp.float32)
         m0 = jnp.full((b, nh, bq, 1), -jnp.inf, jnp.float32)
@@ -190,11 +192,25 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
     if rng is not None:
         attn_rng, proj_rng = jax.random.split(rng)
 
+    drop_active = train and dropout_rate > 0.0 and attn_rng is not None
     if impl == "auto":
-        impl = "full" if n <= 1024 else "flash"
+        if n <= 1024:
+            impl = "full"
+        elif jax.default_backend() == "tpu":
+            impl = "pallas"
+        else:
+            impl = "flash"
     if impl == "full":
         out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
                              rng=attn_rng, train=train)
+    elif impl == "pallas":
+        from lunaris_orion_tpu.ops.pallas.flash_attention import attention_bhnd
+        seed = None
+        rate = 0.0
+        if drop_active:
+            rate = dropout_rate
+            seed = jax.random.randint(attn_rng, (), 0, 2**31 - 1, jnp.int32)
+        out = attention_bhnd(q, k, v, bias, dropout_rate=rate, seed=seed)
     else:
         out = flash_attention_xla(q, k, v, bias, block_q=block_q,
                                   block_k=block_k, dropout_rate=dropout_rate,

@@ -1,0 +1,384 @@
+"""K2 — Pallas TPU flash attention over spatial tokens, with custom VJP and
+in-kernel attention-probability dropout.
+
+The correct, TPU-native realization of the reference's chunked
+PixelArtAttention (lunar_evaluator.py:119-227; defects documented in
+ops/attention.py): online-softmax blockwise attention with a per-key
+additive rel-pos bias, O(N) memory, custom forward+backward Mosaic kernels.
+
+Layout: the teacher's head_dim is tiny (feature_dim/8 = 16 at defaults), so
+q/k/v/o are carried TRANSPOSED as [B*H, d, N]:
+  * the lane (128) axis is always N or a block of it — no pad waste from
+    d=16 (d sits on sublanes: 16 == the bf16 min tile sublane count),
+  * scores are computed directly in transposed form
+    sT[k,q] = dot(kT[d,bk], qT[d,bq]) so no in-kernel transposes exist in
+    either pass; every matmul contracts over d or over a >=128 block axis.
+  * matmuls run on bf16 MXU inputs with f32 accumulation
+    (preferred_element_type) — softmax/statistics stay f32.
+
+Row-vector operands (bias / lse / delta / seeds / block positions) are
+carried as [*, 1, N]-style 3-D arrays so every BlockSpec's trailing two dims
+satisfy Mosaic's (8,128)-divisible-or-full rule.
+
+Dropout (reference: attn_drop(p) after softmax, lunar_evaluator.py:139,212):
+masks are never materialized — each (batch*head row, q-block, kv-block) tile
+re-seeds the per-core PRNG and regenerates the identical mask in the
+backward kernels. Tile identity is carried entirely as DATA (a per-row seed
+lane routed by index_map + the block position routed the same way + the
+in-kernel loop counter) and never via pl.program_id — vmap over stacked
+teacher experts prepends grid dimensions, which would silently shift
+program_id positions and desynchronize forward/backward masks. Softmax
+normalization uses the un-dropped probabilities (torch semantics). Backward
+math: with D = mask/keep, o = (D.Pn)V, delta = rowsum(dO.O) still equals
+rowsum(Pn.dPn), so ds = Pn.(D.(dO V^T) - delta) and dV = (D.Pn)^T dO.
+(Validated on hardware against a dense same-mask reference; see
+tests/test_pallas_attention.py + tools/tpu_validate_attention.py.)
+
+Forward saves (o, lse); backward is the standard two-kernel flash
+decomposition (dq gridded over q blocks; dk/dv/dbias over kv blocks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+BLOCK_Q = 512
+BLOCK_K = 512
+
+
+def _pick_block(n: int, desired: int) -> int:
+    b = min(desired, n)
+    while n % b != 0:
+        b -= 1
+    return b
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_C1 = int(np.uint32(0x9E3779B9).astype(np.int32))
+_C2 = int(np.uint32(0x85EBCA6B).astype(np.int32))
+_C3 = int(np.uint32(0xC2B2AE35).astype(np.int32))
+
+
+def _tile_seed(row_seed, qi, kj):
+    """row_seed encodes (user seed, batch*head row); qi/kj are q/kv block
+    indices. All inputs are data or loop counters — never pl.program_id."""
+    return row_seed ^ (qi * jnp.int32(_C2)) ^ (kj * jnp.int32(_C3))
+
+
+def _row_seeds(seed, bh: int) -> jax.Array:
+    """[BH, 1, 128] int32 per-(batch*head) seed lane (index_map-routable)."""
+    rows = seed.reshape(1, 1, 1).astype(jnp.int32) ^ (
+        jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) * jnp.int32(_C1))
+    return jnp.broadcast_to(rows, (bh, 1, 128))
+
+
+def _pos_lanes(n_blocks: int) -> jax.Array:
+    """[n_blocks, 1, 128] int32 block-position-as-data."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, 1, 1), 0)
+    return jnp.broadcast_to(pos, (n_blocks, 1, 128))
+
+
+def _dropout_mask(shape, keep_prob: float):
+    """Uses the already-seeded per-core PRNG. Returns f32 {0, 1/keep}."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
+    keep = pltpu.bitcast(bits, jnp.uint32) < threshold
+    return keep.astype(jnp.float32) * (1.0 / keep_prob)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: grid (BH, n_q_blocks)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
+                o_ref, lse_ref, *, block_k: int, scale: float,
+                dropout_rate: float):
+    d = q_ref.shape[1]
+    bq = q_ref.shape[2]
+    n = k_ref.shape[2]
+    nk = n // block_k
+    qT = q_ref[0]                       # [d, bq] native dtype (MXU input)
+    row_seed = seed_ref[0, 0, 0]
+    q_id = qpos_ref[0, 0, 0]
+
+    def body(j, carry):
+        acc, m, l = carry
+        kT = k_ref[0, :, pl.ds(j * block_k, block_k)]
+        vT = v_ref[0, :, pl.ds(j * block_k, block_k)]
+        sT = jax.lax.dot_general(
+            kT, qT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale          # [bk, bq] f32
+        b_blk = bias_ref[0, 0, pl.ds(j * block_k, block_k)]       # [bk]
+        sT = sT + b_blk[:, None]
+        m_new = jnp.maximum(m, jnp.max(sT, axis=0, keepdims=True))  # [1, bq]
+        pT = jnp.exp(sT - m_new)                                  # [bk, bq]
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_tile_seed(row_seed, q_id, j))
+            pT_used = pT * _dropout_mask(pT.shape, 1.0 - dropout_rate)
+        else:
+            pT_used = pT
+        acc_new = acc * corr + jax.lax.dot_general(
+            vT, pT_used.astype(vT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [d, bq]
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((d, bq), jnp.float32)
+    m0 = jnp.full((1, bq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, bq), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
+
+
+def _lane_spec(index_map):
+    return pl.BlockSpec((1, 1, 128), index_map, memory_space=pltpu.VMEM)
+
+
+def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
+         scale: float, dropout_rate: float):
+    """bias3: [H, 1, N]; seed: int32 scalar array.
+    Returns (oT [BH,d,N], lse [BH,1,N])."""
+    bh, d, n = qT.shape
+    h = bias3.shape[0]
+    bq = _pick_block(n, block_q)
+    bk = _pick_block(n, block_k)
+    grid = (bh, n // bq)
+    vm = dict(memory_space=pltpu.VMEM)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=bk, scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            _lane_spec(lambda b, i: (b, 0, 0)),                     # row seeds
+            _lane_spec(lambda b, i: (i, 0, 0)),                     # q pos
+            pl.BlockSpec((1, 1, n), lambda b, i: (jax.lax.rem(b, h), 0, 0),
+                         **vm),                                     # bias
+            pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),  # qT
+            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),   # kT
+            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),   # vT
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), **vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, d, n), qT.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(_row_seeds(seed, bh), _pos_lanes(n // bq), bias3, qT, kT, vT)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
+                   lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float,
+                   dropout_rate: float):
+    d, bq = q_ref.shape[1], q_ref.shape[2]
+    n = k_ref.shape[2]
+    nk = n // block_k
+    qT = q_ref[0]
+    doT = do_ref[0]
+    lse = lse_ref[0]      # [1, bq]
+    delta = delta_ref[0]  # [1, bq]
+    row_seed = seed_ref[0, 0, 0]
+    q_id = qpos_ref[0, 0, 0]
+
+    def body(j, dq):
+        kT = k_ref[0, :, pl.ds(j * block_k, block_k)]
+        vT = v_ref[0, :, pl.ds(j * block_k, block_k)]
+        sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        sT = sT + bias_ref[0, 0, pl.ds(j * block_k, block_k)][:, None]
+        pT = jnp.exp(sT - lse)                                     # [bk, bq]
+        dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_tile_seed(row_seed, q_id, j))
+            dpT = dpT * _dropout_mask(dpT.shape, 1.0 - dropout_rate)
+        dsT = (pT * (dpT - delta)).astype(qT.dtype)                # [bk, bq]
+        return dq + jax.lax.dot_general(
+            kT, dsT, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale            # [d, bq]
+
+    dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((d, bq), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
+                    do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dbias_ref, *,
+                    block_q: int, scale: float, dropout_rate: float):
+    d, bk = k_ref.shape[1], k_ref.shape[2]
+    n = q_ref.shape[2]
+    nq = n // block_q
+    kT = k_ref[0]
+    vT = v_ref[0]
+    bias_blk = bias_ref[0, 0, :][:, None]                           # [bk, 1]
+    row_seed = seed_ref[0, 0, 0]
+    k_id = kpos_ref[0, 0, 0]
+
+    def body(i, carry):
+        dk, dv, dbias = carry
+        qT = q_ref[0, :, pl.ds(i * block_q, block_q)]
+        doT = do_ref[0, :, pl.ds(i * block_q, block_q)]
+        lse = lse_ref[0, 0:1, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, 0:1, pl.ds(i * block_q, block_q)]
+        sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        sT = sT + bias_blk
+        pT = jnp.exp(sT - lse)                                      # [bk, bq]
+        dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            pltpu.prng_seed(_tile_seed(row_seed, i, k_id))
+            mask = _dropout_mask(pT.shape, 1.0 - dropout_rate)
+            dpT = dpT * mask
+            pT_v = pT * mask
+        else:
+            pT_v = pT
+        dsT = pT * (dpT - delta)
+        dk_new = dk + jax.lax.dot_general(
+            qT, dsT.astype(qT.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale             # [d, bk]
+        dv_new = dv + jax.lax.dot_general(
+            doT, pT_v.astype(doT.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # [d, bk]
+        dbias_new = dbias + jnp.sum(dsT, axis=1, keepdims=True).T   # [1, bk]
+        return dk_new, dv_new, dbias_new
+
+    dk0 = jnp.zeros((d, bk), jnp.float32)
+    dv0 = jnp.zeros((d, bk), jnp.float32)
+    db0 = jnp.zeros((1, bk), jnp.float32)
+    dk, dv, dbias = jax.lax.fori_loop(0, nq, body, (dk0, dv0, db0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dbias_ref[0] = dbias
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper (dropout_rate is a static nondiff arg)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash(qT, kT, vT, bias, seed, dropout_rate):
+    o, _ = _fwd(qT, kT, vT, bias[:, None, :], seed, block_q=BLOCK_Q,
+                block_k=BLOCK_K, scale=qT.shape[1] ** -0.5,
+                dropout_rate=dropout_rate)
+    return o
+
+
+def _vjp_fwd(qT, kT, vT, bias, seed, dropout_rate):
+    o, lse = _fwd(qT, kT, vT, bias[:, None, :], seed, block_q=BLOCK_Q,
+                  block_k=BLOCK_K, scale=qT.shape[1] ** -0.5,
+                  dropout_rate=dropout_rate)
+    return o, (qT, kT, vT, bias, seed, o, lse)
+
+
+def _vjp_bwd(dropout_rate, res, doT):
+    qT, kT, vT, bias, seed, o, lse = res
+    bh, d, n = qT.shape
+    h = bias.shape[0]
+    scale = d ** -0.5
+    bq = _pick_block(n, BLOCK_Q)
+    bk = _pick_block(n, BLOCK_K)
+    bias3 = bias[:, None, :]
+    seeds = _row_seeds(seed, bh)
+    delta = jnp.sum(o.astype(jnp.float32) * doT.astype(jnp.float32),
+                    axis=1, keepdims=True)  # [BH, 1, N]
+
+    vm = dict(memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, block_k=bk, scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=(bh, n // bq),
+        in_specs=[
+            _lane_spec(lambda b, i: (b, 0, 0)),
+            _lane_spec(lambda b, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b, i: (jax.lax.rem(b, h), 0, 0), **vm),
+            pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
+            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),
+            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),
+            pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), **vm),
+            pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), **vm),
+        ],
+        out_specs=pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
+        out_shape=jax.ShapeDtypeStruct(qT.shape, qT.dtype),
+        interpret=_interpret(),
+    )(seeds, _pos_lanes(n // bq), bias3, qT, kT, vT, doT, lse, delta)
+
+    dk, dv, dbias_bh = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, block_q=bq, scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=(bh, n // bk),
+        in_specs=[
+            _lane_spec(lambda b, j: (b, 0, 0)),
+            _lane_spec(lambda b, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, j: (jax.lax.rem(b, h), 0, j), **vm),
+            pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
+            pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+            pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+            pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
+            pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), **vm),
+            pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), **vm),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+            pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+            pl.BlockSpec((1, 1, bk), lambda b, j: (b, 0, j), **vm),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(kT.shape, kT.dtype),
+            jax.ShapeDtypeStruct(vT.shape, vT.dtype),
+            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(seeds, _pos_lanes(n // bk), bias3, qT, kT, vT, doT, lse, delta)
+
+    dbias = jnp.sum(dbias_bh.reshape(bh // h, h, n), axis=0)  # [H, N]
+    return dq, dk, dv, dbias.astype(bias.dtype), None
+
+
+_flash.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_attention_tpu(qT: jax.Array, kT: jax.Array, vT: jax.Array,
+                        bias: jax.Array, *,
+                        dropout_rate: float = 0.0,
+                        seed: Optional[jax.Array] = None) -> jax.Array:
+    """qT/kT/vT: [B*H, d, N]; bias: [H, N] f32 per-key. Returns oT [B*H, d, N].
+    softmax(qk^T * d^-0.5 + bias) v with optional prob-dropout."""
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape(())
+    return _flash(qT, kT, vT, bias, seed, float(dropout_rate))
+
+
+def attention_bhnd(q, k, v, bias, *, dropout_rate: float = 0.0,
+                   seed: Optional[jax.Array] = None) -> jax.Array:
+    """Convenience adapter: q/k/v [B, H, N, d] + bias [H, N] -> [B, H, N, d],
+    converting to/from the kernel's transposed layout."""
+    b, h, n, d = q.shape
+    to_t = lambda x: x.transpose(0, 1, 3, 2).reshape(b * h, d, n)
+    oT = flash_attention_tpu(to_t(q), to_t(k), to_t(v),
+                             bias.astype(jnp.float32),
+                             dropout_rate=dropout_rate, seed=seed)
+    return oT.reshape(b, h, d, n).transpose(0, 1, 3, 2)

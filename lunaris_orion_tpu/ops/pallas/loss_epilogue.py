@@ -1,0 +1,63 @@
+"""K3 — fused MSE + KL loss epilogue kernel.
+
+One pass over the reconstruction and the posterior stats producing both
+scalars of the VAE loss (train_hybrid.py:858-862):
+    recon_loss = mean((recon - x)^2)
+    kl_loss    = -0.5 * mean(1 + logvar - mu^2 - exp(logvar))
+XLA fuses these reductions well already; this kernel exists as the native-
+tier equivalent and is dispatched only where the microbenchmark favors it
+(ops/dispatch.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(recon_ref, x_ref, mu_ref, logvar_ref, sse_ref, kl_ref):
+    i = pl.program_id(0)
+    r = recon_ref[0].astype(jnp.float32)
+    x = x_ref[0].astype(jnp.float32)
+    diff = r - x
+    sse = jnp.sum(diff * diff)
+    mu = mu_ref[0].astype(jnp.float32)
+    lv = logvar_ref[0].astype(jnp.float32)
+    kl = jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
+    sse_ref[0, 0] = sse
+    kl_ref[0, 0] = kl
+
+
+def mse_kl_pallas(recon: jax.Array, x: jax.Array, mu: jax.Array,
+                  logvar: jax.Array):
+    """recon/x: [B, H, W, C]; mu/logvar: [B, L] -> (recon_loss, kl_loss)."""
+    b, h, w, c = recon.shape
+    l = mu.shape[1]
+    sse, kl = pl.pallas_call(
+        _kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(recon, x, mu, logvar)
+    recon_loss = jnp.sum(sse) / (b * h * w * c)
+    kl_loss = -0.5 * jnp.sum(kl) / (b * l)
+    return recon_loss, kl_loss

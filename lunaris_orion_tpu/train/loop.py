@@ -83,6 +83,10 @@ class Trainer:
 
         if cfg.force_cpu:
             jax.config.update("jax_platforms", "cpu")
+        if cfg.debug_nans:
+            # race-detector analogue for numerics (SURVEY.md §5): every op is
+            # checked for NaN/Inf on the host — slow, debugging only.
+            jax.config.update("jax_debug_nans", True)
         devices = jax.devices()
         self.logger.info("Devices: %s", devices)
 
@@ -241,7 +245,17 @@ class Trainer:
                 losses = []
                 n_img = 0
                 for batch in self.train_loader:
+                    step_no = int(self.state.step)
+                    if cfg.profile_steps > 0 and epoch == 0 and step_no == 2:
+                        jax.profiler.start_trace(
+                            str(self.out_dir / "profile"))
                     self.state, m = self.train_step(self.state, batch)
+                    if cfg.profile_steps > 0 and epoch == 0 \
+                            and step_no == 1 + cfg.profile_steps:
+                        jax.block_until_ready(m["total_loss"])
+                        jax.profiler.stop_trace()
+                        self.logger.info("Profiler trace -> %s",
+                                         self.out_dir / "profile")
                     losses.append(float(m["total_loss"]))
                     n_img += cfg.batch_size * cfg.gradient_accumulation_steps
 

@@ -1,0 +1,94 @@
+"""K2 parity tests: Pallas flash attention (interpret mode on CPU) vs the
+dense reference implementation, forward and gradients."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lunaris_orion_tpu.ops import attention as xla_attn
+from lunaris_orion_tpu.ops.pallas import flash_attention as fa
+
+
+def _make(key, b=2, h=4, n=256, d=16, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, h, n, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, n, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, n, d), dtype)
+    bias = (jax.random.normal(ks[3], (h, n)) * 0.2).astype(jnp.float32)
+    return q, k, v, bias
+
+
+class TestForward:
+    @pytest.mark.parametrize("n,d", [(256, 16), (128, 8), (512, 16)])
+    def test_matches_dense(self, rng, n, d):
+        q, k, v, bias = _make(rng, n=n, d=d)
+        ref = xla_attn.full_attention(q, k, v, bias)
+        out = fa.attention_bhnd(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_no_bias_effect_is_keywise(self, rng):
+        """Shifting the whole bias by a constant must not change output
+        (softmax invariance) — but a keywise pattern must."""
+        q, k, v, bias = _make(rng)
+        out1 = fa.attention_bhnd(q, k, v, bias)
+        out2 = fa.attention_bhnd(q, k, v, bias + 3.0)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-4, atol=1e-4)
+        patt = bias.at[:, ::2].add(2.0)
+        out3 = fa.attention_bhnd(q, k, v, patt)
+        assert not np.allclose(np.asarray(out1), np.asarray(out3), atol=1e-3)
+
+    def test_bf16_inputs(self, rng):
+        q, k, v, bias = _make(rng, dtype=jnp.bfloat16)
+        out = fa.attention_bhnd(q, k, v, bias)
+        assert out.dtype == jnp.bfloat16
+        ref = xla_attn.full_attention(q, k, v, bias)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=0.05, atol=0.05)
+
+
+class TestBackward:
+    def test_grads_match_dense(self, rng):
+        q, k, v, bias = _make(rng, b=1, h=2, n=256, d=16)
+
+        def loss_pallas(q, k, v, bias):
+            t = jnp.sin(fa.attention_bhnd(q, k, v, bias))
+            return jnp.sum(t * t)
+
+        def loss_dense(q, k, v, bias):
+            t = jnp.sin(xla_attn.full_attention(q, k, v, bias))
+            return jnp.sum(t * t)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip("qkvb", gp, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"d{name}")
+
+    def test_grad_under_vmap(self, rng):
+        """The kernel must compose with vmap (stacked experts)."""
+        e = 3
+        qs, ks, vs, biases = [], [], [], []
+        for i in range(e):
+            q, k, v, bias = _make(jax.random.fold_in(rng, i),
+                                  b=1, h=2, n=128, d=8)
+            qs.append(q); ks.append(k); vs.append(v); biases.append(bias)
+        q = jnp.stack(qs); k = jnp.stack(ks); v = jnp.stack(vs)
+        bias = jnp.stack(biases)
+
+        def one(q, k, v, bias):
+            return jnp.sum(fa.attention_bhnd(q, k, v, bias) ** 2)
+
+        loss = lambda q, k, v, bias: jnp.sum(jax.vmap(one)(q, k, v, bias))
+        g = jax.grad(loss)(q, k, v, bias)
+        ref = jax.grad(lambda q: jnp.sum(jax.vmap(
+            lambda a, b, c, d: jnp.sum(
+                xla_attn.full_attention(a, b, c, d) ** 2))(q, k, v, bias)))(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

@@ -1,0 +1,78 @@
+"""K1 (GN+Mish), K3 (loss epilogue), K4 (device pixelate) parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lunaris_orion_tpu.ops import layers
+from lunaris_orion_tpu.ops.activations import mish
+from lunaris_orion_tpu.ops.pallas.gn_mish import group_norm_mish_pallas
+from lunaris_orion_tpu.ops.pallas.loss_epilogue import mse_kl_pallas
+from lunaris_orion_tpu.ops import image_ops
+from lunaris_orion_tpu.train.losses import recon_kl
+
+
+class TestGNMish:
+    @pytest.mark.parametrize("c,groups", [(16, 8), (64, 8), (32, 4)])
+    def test_matches_xla(self, rng, c, groups):
+        x = jax.random.normal(rng, (2, 8, 8, c)) * 2.0
+        p = {"scale": jax.random.normal(jax.random.fold_in(rng, 1), (c,)) + 1,
+             "bias": jax.random.normal(jax.random.fold_in(rng, 2), (c,))}
+        ref = mish(layers.group_norm(p, x, groups=groups))
+        out = group_norm_mish_pallas(x, p["scale"], p["bias"], groups=groups)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_no_mish_variant(self, rng):
+        x = jax.random.normal(rng, (1, 4, 4, 16))
+        p = layers.group_norm_init(16)
+        ref = layers.group_norm(p, x, groups=8)
+        out = group_norm_mish_pallas(x, p["scale"], p["bias"], groups=8,
+                                     with_mish=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestLossEpilogue:
+    def test_matches_reference_formulas(self, rng):
+        ks = jax.random.split(rng, 4)
+        recon = jax.random.uniform(ks[0], (3, 8, 8, 3), minval=-1, maxval=1)
+        x = jax.random.uniform(ks[1], (3, 8, 8, 3), minval=-1, maxval=1)
+        mu = jax.random.normal(ks[2], (3, 32))
+        logvar = jax.random.normal(ks[3], (3, 32)) * 0.3
+        r_ref, k_ref = recon_kl(recon, x, mu, logvar)
+        r_out, k_out = mse_kl_pallas(recon, x, mu, logvar)
+        np.testing.assert_allclose(float(r_out), float(r_ref), rtol=1e-6)
+        np.testing.assert_allclose(float(k_out), float(k_ref), rtol=1e-6)
+
+
+class TestDevicePixelate:
+    def test_shapes_and_palette_bound(self):
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        out = np.asarray(image_ops.pixelate_device(
+            jnp.asarray(imgs), pixel_size=8, num_colors=16))
+        assert out.shape == imgs.shape and out.dtype == np.uint8
+        for i in range(2):
+            blocks = out[i].reshape(4, 8, 4, 8, 3)
+            # NEAREST upscale: every 8x8 block is constant
+            assert (blocks == blocks[:, :1, :, :1]).all()
+            ncolors = len(set(map(tuple, out[i].reshape(-1, 3))))
+            assert ncolors <= 16
+
+    def test_lanczos_downscale_dc_preserved(self):
+        """A constant image stays constant through the Lanczos filter."""
+        x = jnp.full((1, 32, 32, 3), 100.0)
+        y = image_ops.lanczos_downscale(x, 4)
+        assert y.shape == (1, 8, 8, 3)
+        np.testing.assert_allclose(np.asarray(y), 100.0, rtol=1e-4)
+
+    def test_kmeans_recovers_distinct_colors(self):
+        """Pixels drawn from k distinct colors -> palette ~= those colors."""
+        base = jnp.asarray([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                            [255, 255, 0]], jnp.float32)
+        reps = jnp.tile(base, (64, 1))
+        pal = image_ops.kmeans_palette(reps, num_colors=4, iters=5)
+        q = image_ops.quantize_to_palette(reps, pal)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(reps), atol=1.0)
