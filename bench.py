@@ -45,6 +45,14 @@ def log(msg):
 
 
 def main():
+    try:
+        from pathlib import Path
+        cache = Path.home() / ".cache" / "lunaris_jax_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     vcfg = VAEConfig(latent_dim=LATENT)

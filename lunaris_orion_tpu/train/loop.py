@@ -81,6 +81,16 @@ class Trainer:
         self.metrics = MetricsWriter(str(self.out_dir / "tensorboard"))
         (self.out_dir / "eval_samples").mkdir(parents=True, exist_ok=True)
 
+        # Persistent compilation cache: the hybrid step is a large program
+        # (first TPU compile takes minutes through a cold toolchain); cached
+        # executables make reruns/resumes start in seconds.
+        try:
+            cache_dir = Path.home() / ".cache" / "lunaris_jax_cache"
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception:
+            pass
         if cfg.force_cpu:
             jax.config.update("jax_platforms", "cpu")
         if cfg.debug_nans:
@@ -94,12 +104,10 @@ class Trainer:
         self.logger.info("Mesh: %s", dict(self.mesh.shape))
         self._interrupted = False
 
-        # --- static batch planning + jitted step -------------------------
-        self.cfg = self._plan_batch_size(self.cfg)
-        cfg = self.cfg
+        # --- static memory planning fused with the real compile ----------
         abstract = jax.eval_shape(
-            lambda k: create_state(k, cfg, self.vcfg, self.tcfg),
-            jax.random.PRNGKey(cfg.seed))
+            lambda k: create_state(k, self.cfg, self.vcfg, self.tcfg),
+            jax.random.PRNGKey(self.cfg.seed))
         self.shardings = state_shardings(
             abstract, self.mesh, num_experts=self.tcfg.num_experts,
             latent_dim=self.vcfg.latent_dim)
@@ -108,11 +116,8 @@ class Trainer:
             abstract, self.shardings)
         self.batch_shard = batch_sharding(self.mesh)
 
-        self.train_step = jax.jit(
-            make_train_step(cfg, self.vcfg, self.tcfg),
-            in_shardings=(self.shardings, self.batch_shard),
-            out_shardings=(self.shardings, None),
-            donate_argnums=0 if cfg.donate_state else ())
+        self.cfg, self.train_step = self._plan_and_compile(self.cfg)
+        cfg = self.cfg
         self.eval_step = jax.jit(
             make_eval_step(cfg, self.vcfg, self.tcfg),
             in_shardings=(self.shardings, batch_sharding(self.mesh, leading_accum=False)))
@@ -155,52 +160,56 @@ class Trainer:
         self.early = EarlyStopping(cfg.early_stopping_patience)
 
     # ------------------------------------------------------------------
-    def _plan_batch_size(self, cfg: TrainConfig) -> TrainConfig:
-        """Static memory planning: compile-check the step and halve the batch
-        until the executable fits device memory. No runtime OOM heuristics."""
+    def _plan_and_compile(self, cfg: TrainConfig):
+        """Static memory planning fused with the production compile: lower
+        and compile the sharded, donated train step; check its XLA memory
+        analysis against device HBM; halve the batch and retry if it does
+        not fit. The surviving compiled executable IS the train step — no
+        second compile, no runtime OOM heuristics (replaces the reference's
+        dynamic batch halving, train_hybrid.py:341-380)."""
         dev = jax.devices()[0]
-        hbm = None
         stats = getattr(dev, "memory_stats", lambda: None)()
-        if stats:
-            hbm = stats.get("bytes_limit")
-        if hbm is None:
-            return cfg  # CPU / unknown backend: nothing to plan against
+        hbm = stats.get("bytes_limit") if stats else None
 
         min_bs = max(cfg.batch_size // 8, 1)  # reference floor (:253-257)
         bs = cfg.batch_size
         while True:
             trial = cfg.replace(batch_size=bs)
-            try:
-                step = make_train_step(trial, self.vcfg, self.tcfg)
-                lowered = jax.jit(step).lower(
-                    jax.eval_shape(lambda k: create_state(k, trial, self.vcfg,
-                                                          self.tcfg),
-                                   jax.random.PRNGKey(0)),
-                    jax.ShapeDtypeStruct(
-                        (trial.gradient_accumulation_steps, bs,
-                         trial.image_size, trial.image_size, 3), jnp.uint8))
-                mem = lowered.compile().memory_analysis()
-                need = None
-                if mem is not None:
-                    need = (getattr(mem, "temp_size_in_bytes", 0)
-                            + getattr(mem, "argument_size_in_bytes", 0)
-                            + getattr(mem, "output_size_in_bytes", 0))
-                if need is None or need < 0.92 * hbm:
-                    if bs != cfg.batch_size:
-                        self.logger.warning(
-                            "Static memory plan: batch_size %d -> %d "
-                            "(step needs %.2f GB of %.2f GB HBM)",
-                            cfg.batch_size, bs,
-                            (need or 0) / 2**30, hbm / 2**30)
-                    return trial
-                self.logger.info(
-                    "batch %d needs %.2f GB > %.2f GB budget; halving",
-                    bs, need / 2**30, 0.92 * hbm / 2**30)
-            except Exception as e:  # resource errors at compile time
-                self.logger.info("compile at batch %d failed (%s); halving",
-                                 bs, type(e).__name__)
+            jitted = jax.jit(
+                make_train_step(trial, self.vcfg, self.tcfg),
+                in_shardings=(self.shardings, self.batch_shard),
+                out_shardings=(self.shardings, None),
+                donate_argnums=0 if trial.donate_state else ())
+            batch_abs = jax.ShapeDtypeStruct(
+                (trial.gradient_accumulation_steps, bs,
+                 trial.image_size, trial.image_size, 3), jnp.uint8)
+            t0 = time.time()
+            compiled = jitted.lower(self.abstract_state, batch_abs).compile()
+            self.logger.info("train step compiled in %.1fs (batch %d)",
+                             time.time() - t0, bs)
+            mem = compiled.memory_analysis()
+            need = None
+            if mem is not None:
+                need = (getattr(mem, "temp_size_in_bytes", 0)
+                        + getattr(mem, "argument_size_in_bytes", 0)
+                        + getattr(mem, "output_size_in_bytes", 0))
+            if hbm is None or need is None or need < 0.92 * hbm:
+                if need and hbm:
+                    self.logger.info(
+                        "Static memory plan: step needs %.2f GB of %.2f GB HBM",
+                        need / 2**30, hbm / 2**30)
+                if bs != cfg.batch_size:
+                    self.logger.warning(
+                        "Static memory plan: batch_size %d -> %d",
+                        cfg.batch_size, bs)
+                return trial, compiled
+            self.logger.info(
+                "batch %d needs %.2f GB > %.2f GB budget; halving",
+                bs, need / 2**30, 0.92 * hbm / 2**30)
             if bs <= min_bs:
-                return cfg.replace(batch_size=min_bs)
+                raise RuntimeError(
+                    f"train step does not fit HBM even at batch {min_bs}; "
+                    "reduce model dims or raise gradient_accumulation_steps")
             bs //= 2
 
     # ------------------------------------------------------------------
