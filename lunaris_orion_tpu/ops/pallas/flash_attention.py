@@ -50,8 +50,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# Block sizes from an on-device sweep at the production shape
+# (B*H=64, N=16384, d=16). fwd 1024/2048 is fastest standalone but
+# VMEM-OOMs under the teacher's expert-vmap (extra pipeline buffering);
+# 512/2048 is within 10% and fits everywhere. The backward kernels hold
+# more live buffers (full q/do rows + grad accumulators) and need
+# 512/1024. _pick_block clamps for small N.
 BLOCK_Q = 512
-BLOCK_K = 512
+BLOCK_K = 2048
+BWD_BLOCK_Q = 512
+BWD_BLOCK_K = 1024
 
 
 def _pick_block(n: int, desired: int) -> int:
@@ -296,8 +304,8 @@ def _vjp_bwd(dropout_rate, res, doT):
     bh, d, n = qT.shape
     h = bias.shape[0]
     scale = d ** -0.5
-    bq = _pick_block(n, BLOCK_Q)
-    bk = _pick_block(n, BLOCK_K)
+    bq = _pick_block(n, BWD_BLOCK_Q)
+    bk = _pick_block(n, BWD_BLOCK_K)
     bias3 = bias[:, None, :]
     seeds = _row_seeds(seed, bh)
     delta = jnp.sum(o.astype(jnp.float32) * doT.astype(jnp.float32),

@@ -224,21 +224,53 @@ class Trainer:
         micro = int(self.state.step) * a
         return (micro // every) != ((micro - a) // every) if every > 0 else False
 
+    @property
+    def _render_fn(self):
+        """Jitted original-vs-recon render (eval mode) for the sample grids;
+        eager model calls at 128px would dispatch thousands of ops."""
+        if not hasattr(self, "_render_cache"):
+            vcfg, tcfg = self.vcfg, self.tcfg
+
+            @jax.jit
+            def render(vae_params, teacher_params, teacher_stats, imgs):
+                x = normalize_images(imgs, jnp.float32)
+                recon, _, _ = vae_mod.apply(vae_params, x, rng=None,
+                                            cfg=vcfg, sample_posterior=False)
+                out, _ = teacher_mod.apply(teacher_params, teacher_stats,
+                                           recon, cfg=tcfg, train=False)
+                return x, recon, out["quality_scores"], out["semantic_score"]
+
+            @jax.jit
+            def prior(vae_params, rng):
+                return vae_mod.sample(vae_params, rng, 4, vcfg)
+
+            self._render_cache = (render, prior)
+        return self._render_cache
+
     def _save_eval_samples(self, host_batch: np.ndarray) -> None:
-        imgs = host_batch[0, :4]
-        x = normalize_images(jnp.asarray(imgs), jnp.float32)
-        recon, _, _ = vae_mod.apply(self.state.vae_params, x, rng=None,
-                                    cfg=self.vcfg, sample_posterior=False)
-        out, _ = teacher_mod.apply(self.state.teacher_params,
-                                   self.state.teacher_stats, recon,
-                                   cfg=self.tcfg, train=False)
+        render, _ = self._render_fn
+        x, recon, quality, semantic = render(
+            self.state.vae_params, self.state.teacher_params,
+            self.state.teacher_stats, jnp.asarray(host_batch[0, :4]))
         grid = comparison_grid(np.asarray(x), np.asarray(recon),
-                               quality=np.asarray(out["quality_scores"]),
-                               semantic=np.asarray(out["semantic_score"]))
+                               quality=np.asarray(quality),
+                               semantic=np.asarray(semantic))
         path = (self.out_dir / "eval_samples"
                 / f"comparison_{int(self.state.step)}_{int(time.time())}.png")
         grid.save(path)
         self.logger.info("Saved eval grid -> %s", path)
+
+    def _save_prior_samples(self) -> None:
+        """Prior-decode grid every --sample_every micro-steps (the reference
+        parses the flag but never implements it, SURVEY.md §2.8)."""
+        from lunaris_orion_tpu.utils.image import sample_grid
+        _, prior = self._render_fn
+        imgs = prior(self.state.vae_params,
+                     jax.random.fold_in(self.state.rng, 7))
+        path = (self.out_dir / "eval_samples"
+                / f"samples_{int(self.state.step)}_{int(time.time())}.png")
+        sample_grid(np.asarray(imgs)).save(path)
+        self.logger.info("Saved prior-sample grid -> %s", path)
 
     # ------------------------------------------------------------------
     def train(self) -> dict:
@@ -277,6 +309,8 @@ class Trainer:
                         sample = self.dataset.gather(
                             np.arange(min(4, len(self.dataset))))
                         self._save_eval_samples(sample[None])
+                    if self._micro_crossed(cfg.sample_every):
+                        self._save_prior_samples()
                     if self._micro_crossed(cfg.save_every):
                         self.ckpt.save(int(self.state.step), self.state,
                                        config=cfg)
@@ -298,6 +332,11 @@ class Trainer:
                     "epoch %d/%d | avg_loss=%.4f | %s | %.1f sprites/s (%.1fs)",
                     epoch + 1, cfg.num_epochs, avg_loss,
                     _fmt(val_metrics), ips, dt)
+                mem_stats = getattr(jax.devices()[0], "memory_stats",
+                                    lambda: None)() or {}
+                mem_gb = mem_stats.get("bytes_in_use", 0) / 2**30
+                if mem_gb:
+                    val_metrics["device_mem_gb"] = mem_gb
                 self.metrics.log({"epoch_loss": avg_loss,
                                   "sprites_per_sec": ips, **val_metrics},
                                  int(self.state.step) *
