@@ -169,6 +169,36 @@ def full_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     return out.astype(q.dtype)
 
 
+def self_attention_2d_init(key, channels: int) -> Params:
+    """SelfAttention2d (reference lunar_generate.py:56-78): single-head
+    spatial self-attention with q/k at C/8 width and a learned gamma-gated
+    residual (gamma init 0). The reference defines it but never wires it
+    into a model ("optional", :55); provided here for API completeness —
+    usable as an optional VAE bottleneck block."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "query": layers.conv2d_init(k1, channels, max(channels // 8, 1), 1),
+        "key": layers.conv2d_init(k2, channels, max(channels // 8, 1), 1),
+        "value": layers.conv2d_init(k3, channels, channels, 1),
+        "gamma": jnp.zeros((1,), jnp.float32),
+    }
+
+
+def self_attention_2d(params: Params, x: jax.Array) -> jax.Array:
+    """x: [B,H,W,C] -> gamma * attn(x) + x  (lunar_generate.py:68-78)."""
+    b, h, w, c = x.shape
+    n = h * w
+    q = layers.conv2d(params["query"], x).reshape(b, n, -1)
+    k = layers.conv2d(params["key"], x).reshape(b, n, -1)
+    v = layers.conv2d(params["value"], x).reshape(b, n, c)
+    energy = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32))
+    attn = jax.nn.softmax(energy, axis=-1)
+    out = jnp.einsum("bqk,bkc->bqc", attn, v.astype(jnp.float32))
+    out = out.reshape(b, h, w, c).astype(x.dtype)
+    return params["gamma"].astype(x.dtype) * out + x
+
+
 def spatial_attention_reference(params: Params, x: jax.Array, *,
                                 num_heads: int = 8,
                                 dropout_rate: float = 0.0,

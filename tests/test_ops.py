@@ -184,3 +184,25 @@ class TestDropout:
         # each (sample, channel) slice is all-zero or all-scaled
         per = np.asarray(jnp.std(out, axis=(1, 2)))
         np.testing.assert_allclose(per, 0, atol=1e-6)
+
+
+class TestSelfAttention2d:
+    """Reference lunar_generate.py:56-78 (defined there but never wired)."""
+
+    def test_gamma_zero_is_identity(self, rng):
+        from lunaris_orion_tpu.ops.attention import (self_attention_2d,
+                                                     self_attention_2d_init)
+        p = self_attention_2d_init(rng, 16)
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 8, 8, 16))
+        out = self_attention_2d(p, x)
+        np.testing.assert_allclose(_np(out), _np(x), atol=1e-6)
+
+    def test_nonzero_gamma_changes_output(self, rng):
+        from lunaris_orion_tpu.ops.attention import (self_attention_2d,
+                                                     self_attention_2d_init)
+        p = self_attention_2d_init(rng, 16)
+        p = dict(p, gamma=jnp.ones((1,)))
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (2, 8, 8, 16))
+        out = self_attention_2d(p, x)
+        assert out.shape == x.shape
+        assert not np.allclose(_np(out), _np(x))
