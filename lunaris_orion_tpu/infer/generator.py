@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lunaris_orion_tpu.config import TrainConfig, VAEConfig, TeacherConfig
+from lunaris_orion_tpu.config import TrainConfig
 from lunaris_orion_tpu.models import teacher as teacher_mod
 from lunaris_orion_tpu.models import vae as vae_mod
 from lunaris_orion_tpu.utils.image import save_png, sample_grid, to_uint8

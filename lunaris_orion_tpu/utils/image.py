@@ -8,8 +8,7 @@ pairs side by side annotated with quality & semantic scores
 
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Optional, Sequence
+
 
 import numpy as np
 from PIL import Image, ImageDraw
