@@ -93,6 +93,14 @@ class Trainer:
             pass
         if cfg.force_cpu:
             jax.config.update("jax_platforms", "cpu")
+        if cfg.fast_rng:
+            # Hardware RngBitGenerator for dropout masks: ablation on v5e
+            # showed threefry mask generation alone costs ~27% of the hybrid
+            # step (BASELINE.md). Mask *distribution* is identical.
+            try:
+                jax.config.update("jax_default_prng_impl", "rbg")
+            except Exception:
+                pass
         if cfg.debug_nans:
             # race-detector analogue for numerics (SURVEY.md §5): every op is
             # checked for NaN/Inf on the host — slow, debugging only.
@@ -173,39 +181,47 @@ class Trainer:
 
         min_bs = max(cfg.batch_size // 8, 1)  # reference floor (:253-257)
         bs = cfg.batch_size
+        # remat costs ~23% of the hybrid step in recompute (BASELINE.md);
+        # prefer no-remat whenever the executable fits HBM.
+        remat_candidates = ((False, True) if cfg.remat is None
+                            else (cfg.remat,))
         while True:
             trial = cfg.replace(batch_size=bs)
-            jitted = jax.jit(
-                make_train_step(trial, self.vcfg, self.tcfg),
-                in_shardings=(self.shardings, self.batch_shard),
-                out_shardings=(self.shardings, None),
-                donate_argnums=0 if trial.donate_state else ())
             batch_abs = jax.ShapeDtypeStruct(
                 (trial.gradient_accumulation_steps, bs,
                  trial.image_size, trial.image_size, 3), jnp.uint8)
-            t0 = time.time()
-            compiled = jitted.lower(self.abstract_state, batch_abs).compile()
-            self.logger.info("train step compiled in %.1fs (batch %d)",
-                             time.time() - t0, bs)
-            mem = compiled.memory_analysis()
-            need = None
-            if mem is not None:
-                need = (getattr(mem, "temp_size_in_bytes", 0)
-                        + getattr(mem, "argument_size_in_bytes", 0)
-                        + getattr(mem, "output_size_in_bytes", 0))
-            if hbm is None or need is None or need < 0.92 * hbm:
-                if need and hbm:
-                    self.logger.info(
-                        "Static memory plan: step needs %.2f GB of %.2f GB HBM",
-                        need / 2**30, hbm / 2**30)
-                if bs != cfg.batch_size:
-                    self.logger.warning(
-                        "Static memory plan: batch_size %d -> %d",
-                        cfg.batch_size, bs)
-                return trial, compiled
-            self.logger.info(
-                "batch %d needs %.2f GB > %.2f GB budget; halving",
-                bs, need / 2**30, 0.92 * hbm / 2**30)
+            for remat in remat_candidates:
+                jitted = jax.jit(
+                    make_train_step(trial, self.vcfg, self.tcfg, remat=remat),
+                    in_shardings=(self.shardings, self.batch_shard),
+                    out_shardings=(self.shardings, None),
+                    donate_argnums=0 if trial.donate_state else ())
+                t0 = time.time()
+                compiled = jitted.lower(self.abstract_state,
+                                        batch_abs).compile()
+                self.logger.info(
+                    "train step compiled in %.1fs (batch %d, remat=%s)",
+                    time.time() - t0, bs, remat)
+                mem = compiled.memory_analysis()
+                need = None
+                if mem is not None:
+                    need = (getattr(mem, "temp_size_in_bytes", 0)
+                            + getattr(mem, "argument_size_in_bytes", 0)
+                            + getattr(mem, "output_size_in_bytes", 0))
+                if hbm is None or need is None or need < 0.92 * hbm:
+                    if need and hbm:
+                        self.logger.info(
+                            "Static memory plan: step needs %.2f GB of "
+                            "%.2f GB HBM (batch %d, remat=%s)",
+                            need / 2**30, hbm / 2**30, bs, remat)
+                    if bs != cfg.batch_size:
+                        self.logger.warning(
+                            "Static memory plan: batch_size %d -> %d",
+                            cfg.batch_size, bs)
+                    return trial, compiled
+                self.logger.info(
+                    "batch %d remat=%s needs %.2f GB > %.2f GB budget",
+                    bs, remat, need / 2**30, 0.92 * hbm / 2**30)
             if bs <= min_bs:
                 raise RuntimeError(
                     f"train step does not fit HBM even at batch {min_bs}; "

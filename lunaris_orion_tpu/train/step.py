@@ -47,7 +47,7 @@ def normalize_images(batch: jax.Array, dtype) -> jax.Array:
 def make_train_step(cfg: TrainConfig,
                     vcfg: VAEConfig | None = None,
                     tcfg: TeacherConfig | None = None,
-                    *, attn_impl: str = "auto"):
+                    *, attn_impl: str = "auto", remat: bool = True):
     """Returns train_step(state, images[A, mb, H, W, C]) -> (state, metrics)."""
     vcfg = vcfg or cfg.vae_config()
     tcfg = tcfg or cfg.teacher_config()
@@ -66,7 +66,7 @@ def make_train_step(cfg: TrainConfig,
         # (3) teacher on inputs — outside grad (torch.no_grad parity).
         t1_out, stats1 = teacher_mod.apply(
             teacher_params, stats, x, cfg=tcfg, train=True, rng=r_t1,
-            attn_impl=attn_impl)
+            attn_impl=attn_impl, remat=remat)
         prompt_emb = jax.lax.stop_gradient(t1_out["prompt_embedding"])
 
         def loss_fn(diff_params):
@@ -76,7 +76,7 @@ def make_train_step(cfg: TrainConfig,
             t2_out, stats2 = teacher_mod.apply(
                 tp, stats1, jax.lax.stop_gradient(recon), cfg=tcfg,
                 prompt_embedding=prompt_emb, train=True, rng=r_t2,
-                attn_impl=attn_impl)
+                attn_impl=attn_impl, remat=remat)
             vae_loss, teacher_loss, nb, nbi, metrics = losses_mod.hybrid_losses(
                 recon_loss=recon_loss, kl_loss=kl_loss,
                 quality_scores=t2_out["quality_scores"],
