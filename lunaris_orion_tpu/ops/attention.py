@@ -223,11 +223,13 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
 
     drop_active = train and dropout_rate > 0.0 and attn_rng is not None
     if impl == "auto":
+        from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len
         if n <= 1024:
             impl = "full"
-        elif jax.default_backend() == "tpu":
+        elif jax.default_backend() == "tpu" and supported_seq_len(n):
             impl = "pallas"
         else:
+            # non-128-multiple N (arbitrary image sizes) or non-TPU backend
             impl = "flash"
     if impl == "full":
         out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,

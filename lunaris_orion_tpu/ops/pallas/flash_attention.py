@@ -62,7 +62,19 @@ BWD_BLOCK_Q = 512
 BWD_BLOCK_K = 1024
 
 
+def supported_seq_len(n: int) -> bool:
+    """Mosaic requires lane-dim blocks to be multiples of 128 (or the full
+    dim); callers must route other sequence lengths to the XLA fallback."""
+    return n % 128 == 0 or n < 128
+
+
 def _pick_block(n: int, desired: int) -> int:
+    """Largest 128-multiple <= desired dividing n (full n for small inputs)."""
+    b = (min(desired, n) // 128) * 128
+    while b >= 128 and n % b != 0:
+        b -= 128
+    if b >= 128:
+        return b
     b = min(desired, n)
     while n % b != 0:
         b -= 1

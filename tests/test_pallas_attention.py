@@ -92,3 +92,36 @@ class TestBackward:
                 xla_attn.full_attention(a, b, c, d) ** 2))(q, k, v, bias)))(q)
         np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+class TestSeqLenDispatch:
+    def test_pick_block_prefers_128_multiples(self):
+        assert fa._pick_block(16384, 512) == 512
+        assert fa._pick_block(16384, 2048) == 2048
+        assert fa._pick_block(256, 512) == 256
+        # 11248 = 2^4*19*37: no 128-multiple divides it
+        assert fa._pick_block(11248, 512) % 128 != 0  # why callers must gate
+        assert fa.supported_seq_len(16384)
+        assert fa.supported_seq_len(128)
+        assert fa.supported_seq_len(64)  # small-N: full block == dim is legal
+        assert not fa.supported_seq_len(11248)
+
+    def test_dispatch_falls_back_for_odd_n(self, rng, monkeypatch):
+        """Arbitrary image sizes (e.g. scoring a 148x76 grid PNG) must route
+        to the XLA flash path, not the Mosaic kernel."""
+        import lunaris_orion_tpu.ops.attention as attn_mod
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        called = {}
+
+        def fake_flash(q, k, v, bias, **kw):
+            called["flash"] = True
+            return xla_attn.full_attention(q, k, v, bias)
+
+        monkeypatch.setattr(attn_mod, "flash_attention_xla", fake_flash)
+        c, heads = 16, 4
+        p = attn_mod.attention_init(rng, c, num_heads=heads, rel_pos_size=4)
+        # 44x38 = 1672 tokens: >1024 and not a multiple of 128
+        x = jax.random.normal(jax.random.fold_in(rng, 1), (1, 44, 38, c))
+        out = attn_mod.spatial_attention_reference(p, x, num_heads=heads)
+        assert called.get("flash"), "expected XLA flash fallback"
+        assert out.shape == x.shape
