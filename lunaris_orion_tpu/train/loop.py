@@ -127,7 +127,8 @@ class Trainer:
         self.cfg, self.train_step = self._plan_and_compile(self.cfg)
         cfg = self.cfg
         self.eval_step = jax.jit(
-            make_eval_step(cfg, self.vcfg, self.tcfg),
+            make_eval_step(cfg, self.vcfg, self.tcfg,
+                           attn_impl="flash" if cfg.use_pallas is False else "auto"),
             in_shardings=(self.shardings, batch_sharding(self.mesh, leading_accum=False)))
 
         # --- data ---------------------------------------------------------
@@ -185,6 +186,9 @@ class Trainer:
         # prefer no-remat whenever the executable fits HBM.
         remat_candidates = ((False, True) if cfg.remat is None
                             else (cfg.remat,))
+        attn_impl = "auto"
+        if cfg.use_pallas is False:
+            attn_impl = "flash"   # force the XLA composition everywhere
         while True:
             trial = cfg.replace(batch_size=bs)
             batch_abs = jax.ShapeDtypeStruct(
@@ -192,7 +196,8 @@ class Trainer:
                  trial.image_size, trial.image_size, 3), jnp.uint8)
             for remat in remat_candidates:
                 jitted = jax.jit(
-                    make_train_step(trial, self.vcfg, self.tcfg, remat=remat),
+                    make_train_step(trial, self.vcfg, self.tcfg, remat=remat,
+                                    attn_impl=attn_impl),
                     in_shardings=(self.shardings, self.batch_shard),
                     out_shardings=(self.shardings, None),
                     donate_argnums=0 if trial.donate_state else ())

@@ -153,3 +153,21 @@ class TestFullModelParity:
                                    rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(float(j_kl), float(t_kl),
                                    rtol=1e-3, atol=1e-5)
+
+
+class TestCheckpointFileLoader:
+    def test_load_torch_pt_file(self, pair, tmp_path):
+        """load_torch_checkpoint reads the reference's .pt layout
+        (train_hybrid.py:594-615: dict with vae_state_dict)."""
+        from lunaris_orion_tpu.utils.torch_compat import load_torch_checkpoint
+        tmodel, jparams = pair
+        ckpt = {"global_step": 7, "vae_state_dict": tmodel.state_dict(),
+                "best_loss": 0.5}
+        path = tmp_path / "latest.pt"
+        torch.save(ckpt, path)
+        params = load_torch_checkpoint(str(path), CFG)
+        a = jax.tree_util.tree_leaves(params)
+        b = jax.tree_util.tree_leaves(jparams)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
