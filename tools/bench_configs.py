@@ -1,0 +1,212 @@
+"""The five BASELINE.json benchmark configs, as a runnable harness.
+
+  1. train_hybrid CPU config   (128px, latent 256, batch 8, fp32)
+  2. mid-range                 (mixed precision, latent 384, grad_accum 2)
+  3. high-end                  (latent 512, embed 256, feature 512, batch 64)
+  4. full hybrid loop          (VAE + teacher losses, checkpoint resume)
+  5. inference path            (batch sampling + teacher quality scoring)
+
+Usage: python tools/bench_configs.py [--smoke] [--only 1,3,5]
+  --smoke shrinks images to 32px so every config (including CPU) finishes in
+  seconds — the CI-able variant. Without it, configs run at their real dims
+  on the available device (config 1 runs on CPU by definition and is
+  intentionally capped at very few steps; the 128px teacher on one CPU core
+  is as impractical here as it is for the reference).
+
+Timings use the scan-slope method (see bench.py). Emits one JSON line per
+config to stdout.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _setup_cache():
+    try:
+        cache = Path.home() / ".cache" / "lunaris_jax_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+def _slope_hybrid(cfg, vcfg, tcfg, k_big=4, reps=2, remat=False):
+    from lunaris_orion_tpu.train.state import create_state
+    from lunaris_orion_tpu.train.step import make_train_step
+    state = create_state(jax.random.PRNGKey(0), cfg, vcfg, tcfg)
+    step = make_train_step(cfg, vcfg, tcfg, remat=remat)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (cfg.gradient_accumulation_steps, cfg.batch_size,
+                 cfg.image_size, cfg.image_size, 3), dtype=np.uint8))
+
+    def make(kk):
+        @jax.jit
+        def run(state):
+            def body(s, i):
+                s2, m = step(s, imgs)
+                return s2, m["total_loss"]
+            _, losses = jax.lax.scan(body, state, jnp.arange(kk))
+            return losses[-1]
+        return lambda: float(run(state))
+
+    ts = []
+    for k in (1, k_big):
+        fn = make(k)
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        ts.append(best)
+    dt = (ts[1] - ts[0]) / (k_big - 1)
+    sprites = cfg.batch_size * cfg.gradient_accumulation_steps / dt
+    return dt, sprites
+
+
+def emit(name, **kw):
+    print(json.dumps({"config": name, **kw}), flush=True)
+
+
+def config1_cpu(image):
+    """CPU config: batch 8, grad-accum 8, latent 256, fp32."""
+    from lunaris_orion_tpu.config import TrainConfig
+    jax.config.update("jax_platforms", "cpu")
+    cfg = TrainConfig(batch_size=8, gradient_accumulation_steps=8,
+                      latent_dim=256, image_size=image,
+                      mixed_precision=False)
+    accum = 1 if image >= 128 else cfg.gradient_accumulation_steps
+    cfg = cfg.replace(gradient_accumulation_steps=accum)
+    dt, sprites = _slope_hybrid(cfg, cfg.vae_config(), cfg.teacher_config(),
+                                k_big=2, reps=1)
+    emit("1_cpu_hybrid", image=image, step_ms=round(dt * 1e3, 1),
+         sprites_per_sec=round(sprites, 2), device="cpu")
+    jax.config.update("jax_platforms", None)
+
+
+def config2_midrange(image):
+    from lunaris_orion_tpu.config import TrainConfig
+    # The reference's mid-range recipe targets a 24GB RTX 3090; on a 16GB
+    # v5e chip the Trainer's planner halves the micro-batch and doubles
+    # accumulation (same global batch 64) with remat — reproduced here.
+    cfg = TrainConfig(batch_size=16, gradient_accumulation_steps=4,
+                      latent_dim=384, embedding_dim=192, feature_dim=384,
+                      image_size=image, mixed_precision=True)
+    dt, sprites = _slope_hybrid(cfg, cfg.vae_config(), cfg.teacher_config(),
+                                k_big=3, remat=True)
+    emit("2_midrange_hybrid", image=image, step_ms=round(dt * 1e3, 1),
+         sprites_per_sec=round(sprites, 2),
+         device=jax.devices()[0].platform)
+
+
+def config3_highend(image):
+    """The primary bench.py metric at the high-end dims (VAE step)."""
+    import bench
+    bench.main()
+
+
+def config4_resume(image, tmp):
+    """Full hybrid loop via the Trainer with checkpoint save + resume."""
+    from lunaris_orion_tpu.cli.train import build_parser, config_from_args
+    from lunaris_orion_tpu.data.synthetic import write_synthetic_dataset
+    from lunaris_orion_tpu.train.loop import Trainer
+    ds = tmp / "ds4"
+    write_synthetic_dataset(ds, 128, image_size=image)
+    args = ["--data_dir", str(ds), "--output_dir", str(tmp / "run4"),
+            "--num_epochs", "1", "--batch_size", "8",
+            "--gradient_accumulation_steps", "1",
+            "--image_size", str(image), "--mixed_precision",
+            "--save_every", "4", "--log_every", "100"]
+    t0 = time.time()
+    tr = Trainer(config_from_args(build_parser().parse_args(args)))
+    r1 = tr.train()
+    t_train = time.time() - t0
+    args += ["--resume_from", str(tmp / "run4" / "checkpoints")]
+    tr2 = Trainer(config_from_args(build_parser().parse_args(args)))
+    resumed_step = int(tr2.state.step)
+    r2 = tr2.train()
+    emit("4_full_hybrid_resume", image=image,
+         epochs=r1["epochs"] + r2["epochs"],
+         first_best_loss=round(r1["best_loss"], 4),
+         resumed_at_step=resumed_step,
+         final_step=int(tr2.state.step),
+         wall_s=round(time.time() - t0, 1),
+         device=jax.devices()[0].platform)
+
+
+def config5_inference(image, tmp):
+    """Batch prior sampling + teacher scoring throughput."""
+    from lunaris_orion_tpu.config import TrainConfig
+    from lunaris_orion_tpu.models import vae as vae_mod
+    from lunaris_orion_tpu.models import teacher as teacher_mod
+    cfg = TrainConfig(latent_dim=256, image_size=image)
+    vcfg, tcfg = cfg.vae_config(), cfg.teacher_config()
+    key = jax.random.PRNGKey(0)
+    vp = vae_mod.init(key, vcfg)
+    tp, ts = teacher_mod.init(jax.random.fold_in(key, 1), tcfg)
+    B = 16  # 64 exceeds HBM at 128px: the E-stacked teacher activations are ~10GB/tensor
+
+    def make(kk):
+        @jax.jit
+        def run(z0):
+            def body(z, i):
+                imgs = vae_mod.decode(vp["decoder"], z, [], vcfg)
+                out, _ = teacher_mod.apply(tp, ts, imgs, cfg=tcfg, train=False)
+                q = jnp.mean(out["quality_scores"], -1)
+                return z + 1e-3, jnp.mean(q)
+            _, qs = jax.lax.scan(body, z0, jnp.arange(kk))
+            return qs[-1]
+        return lambda: float(run(jax.random.normal(key, (B, vcfg.latent_dim))))
+
+    ts_ = []
+    for k in (1, 4):
+        fn = make(k)
+        fn()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        ts_.append(best)
+    dt = (ts_[1] - ts_[0]) / 3
+    emit("5_inference_sample_and_score", image=image, batch=B,
+         batch_ms=round(dt * 1e3, 1),
+         images_per_sec=round(B / dt, 1),
+         device=jax.devices()[0].platform)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="32px everywhere")
+    ap.add_argument("--only", type=str, default="1,2,3,4,5")
+    args = ap.parse_args()
+    _setup_cache()
+    image = 32 if args.smoke else 128
+    cpu_image = 32 if args.smoke else 32  # CPU hybrid at 128px is impractical
+    only = set(args.only.split(","))
+    tmp = Path(tempfile.mkdtemp(prefix="bench_configs_"))
+    if "1" in only:
+        config1_cpu(cpu_image)
+    if "2" in only:
+        config2_midrange(image)
+    if "3" in only:
+        config3_highend(image)
+    if "4" in only:
+        config4_resume(32 if args.smoke else 32, tmp)  # trainer loop: 32px
+    if "5" in only:
+        config5_inference(image, tmp)
+
+
+if __name__ == "__main__":
+    main()
