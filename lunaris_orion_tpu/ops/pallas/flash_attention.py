@@ -21,13 +21,16 @@ carried as [*, 1, N]-style 3-D arrays so every BlockSpec's trailing two dims
 satisfy Mosaic's (8,128)-divisible-or-full rule.
 
 Dropout (reference: attn_drop(p) after softmax, lunar_evaluator.py:139,212):
-masks are never materialized — each (batch*head row, q-block, kv-block) tile
-re-seeds the per-core PRNG and regenerates the identical mask in the
-backward kernels. Tile identity is carried entirely as DATA (a per-row seed
-lane routed by index_map + the block position routed the same way + the
-in-kernel loop counter) and never via pl.program_id — vmap over stacked
-teacher experts prepends grid dimensions, which would silently shift
-program_id positions and desynchronize forward/backward masks. Softmax
+masks are never materialized — each element's keep/drop decision is a
+STATELESS hash of (per-row seed, absolute k index, absolute q index), so the
+backward kernels regenerate bit-identical masks regardless of how each pass
+tiles the score matrix (fwd BLOCK_K != BWD_BLOCK_K is safe by construction;
+a per-tile PRNG reseed keyed on block indices was NOT — that was round 1's
+gradient-desync defect). The per-row seed is carried as DATA (a seed lane
+routed by index_map) and block positions likewise, never via pl.program_id —
+vmap over stacked teacher experts prepends grid dimensions, which would
+silently shift program_id positions. The hash is pure lax ops, so tests
+rebuild the exact mask outside Pallas for dense references. Softmax
 normalization uses the un-dropped probabilities (torch semantics). Backward
 math: with D = mask/keep, o = (D.Pn)V, delta = rowsum(dO.O) still equals
 rowsum(Pn.dPn), so ds = Pn.(D.(dO V^T) - delta) and dV = (D.Pn)^T dO.
@@ -90,12 +93,6 @@ _C2 = int(np.uint32(0x85EBCA6B).astype(np.int32))
 _C3 = int(np.uint32(0xC2B2AE35).astype(np.int32))
 
 
-def _tile_seed(row_seed, qi, kj):
-    """row_seed encodes (user seed, batch*head row); qi/kj are q/kv block
-    indices. All inputs are data or loop counters — never pl.program_id."""
-    return row_seed ^ (qi * jnp.int32(_C2)) ^ (kj * jnp.int32(_C3))
-
-
 def _row_seeds(seed, bh: int) -> jax.Array:
     """[BH, 1, 128] int32 per-(batch*head) seed lane (index_map-routable)."""
     rows = seed.reshape(1, 1, 1).astype(jnp.int32) ^ (
@@ -109,11 +106,34 @@ def _pos_lanes(n_blocks: int) -> jax.Array:
     return jnp.broadcast_to(pos, (n_blocks, 1, 128))
 
 
-def _dropout_mask(shape, keep_prob: float):
-    """Uses the already-seeded per-core PRNG. Returns f32 {0, 1/keep}."""
-    bits = pltpu.prng_random_bits(shape)
+def _hash_mask(row_seed, k0, q0, shape, keep_prob: float):
+    """Stateless dropout mask from ABSOLUTE (k, q) element coordinates.
+
+    Block-decomposition independent: forward and backward kernels tile the
+    score matrix differently (BLOCK_* vs BWD_BLOCK_*) yet regenerate
+    bit-identical masks, because each element's decision depends only on
+    (row_seed, k0+row, q0+col) — murmur3-fmix32 avalanche over that triple.
+    Pure lax ops: also runs outside Pallas, so tests can build dense
+    same-mask references. `shape` is [bk, bq] (k rows, q cols); returns
+    f32 {0, 1/keep_prob}.
+    """
+    bk, bq = shape
+    # Coordinate spreads are factored into a column/row vector pair so the
+    # per-element work is one broadcast add + a single-multiply xorshift
+    # mixer (the VPU is the dropout bottleneck; full-tile i32 multiplies are
+    # the expensive op). Inputs to the mixer already differ in high bits for
+    # adjacent coordinates because the spreads use large odd constants.
+    col = (row_seed
+           + (k0 + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0))
+           * jnp.int32(_C2))
+    row = ((q0 + jax.lax.broadcasted_iota(jnp.int32, (1, bq), 1))
+           * jnp.int32(_C3))
+    h = col + row
+    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h * jnp.int32(_C2)
+    h = h ^ jax.lax.shift_right_logical(h, 16)
     threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
-    keep = pltpu.bitcast(bits, jnp.uint32) < threshold
+    keep = jax.lax.bitcast_convert_type(h, jnp.uint32) < threshold
     return keep.astype(jnp.float32) * (1.0 / keep_prob)
 
 
@@ -146,8 +166,8 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
         if dropout_rate > 0.0:
-            pltpu.prng_seed(_tile_seed(row_seed, q_id, j))
-            pT_used = pT * _dropout_mask(pT.shape, 1.0 - dropout_rate)
+            pT_used = pT * _hash_mask(row_seed, j * block_k, q_id * bq,
+                                      pT.shape, 1.0 - dropout_rate)
         else:
             pT_used = pT
         acc_new = acc * corr + jax.lax.dot_general(
@@ -231,8 +251,8 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            pltpu.prng_seed(_tile_seed(row_seed, q_id, j))
-            dpT = dpT * _dropout_mask(dpT.shape, 1.0 - dropout_rate)
+            dpT = dpT * _hash_mask(row_seed, j * block_k, q_id * bq,
+                                   dpT.shape, 1.0 - dropout_rate)
         dsT = (pT * (dpT - delta)).astype(qT.dtype)                # [bk, bq]
         return dq + jax.lax.dot_general(
             kT, dsT, (((1,), (0,)), ((), ())),
@@ -267,8 +287,8 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            pltpu.prng_seed(_tile_seed(row_seed, i, k_id))
-            mask = _dropout_mask(pT.shape, 1.0 - dropout_rate)
+            mask = _hash_mask(row_seed, k_id * bk, i * block_q,
+                              pT.shape, 1.0 - dropout_rate)
             dpT = dpT * mask
             pT_v = pT * mask
         else:

@@ -94,6 +94,77 @@ class TestBackward:
                                    rtol=2e-4, atol=2e-4)
 
 
+class TestDropout:
+    """Round-1 regression: fwd tiles KV at BLOCK_K=2048 but the backward
+    kernels at BWD_BLOCK_K=1024; the old per-tile PRNG reseed keyed on block
+    indices desynced masks for N>=2048, silently corrupting gradients. The
+    stateless hash mask is block-decomposition independent; these tests pin
+    that at exactly the desync shapes."""
+
+    @staticmethod
+    def _dense_with_mask(q, k, v, bias, seed, rate):
+        """Dense reference applying the kernel's exact hash mask
+        (torch semantics: normalize with un-dropped probs, then mask)."""
+        b, h, n, d = q.shape
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5)
+        s = s + bias[None, :, None, :]
+        p = jax.nn.softmax(s, axis=-1)
+        row_seeds = fa._row_seeds(jnp.asarray(seed, jnp.int32), b * h)[:, 0, 0]
+        # _hash_mask returns [k, q]; dense wants [q, k]
+        masks = jnp.stack([
+            fa._hash_mask(row_seeds[r], 0, 0, (n, n), 1.0 - rate).T
+            for r in range(b * h)]).reshape(b, h, n, n)
+        return jnp.einsum("bhqk,bhkd->bhqd", p * masks, v)
+
+    def test_mask_is_block_decomposition_independent(self):
+        full = fa._hash_mask(jnp.int32(1234), 0, 0, (2048, 512), 0.9)
+        top = fa._hash_mask(jnp.int32(1234), 0, 0, (1024, 512), 0.9)
+        bot = fa._hash_mask(jnp.int32(1234), 1024, 0, (1024, 512), 0.9)
+        np.testing.assert_array_equal(
+            np.asarray(full), np.concatenate([np.asarray(top),
+                                              np.asarray(bot)], axis=0))
+        right = fa._hash_mask(jnp.int32(1234), 0, 256, (2048, 256), 0.9)
+        np.testing.assert_array_equal(np.asarray(full)[:, 256:],
+                                      np.asarray(right))
+
+    def test_mask_keep_fraction(self):
+        for keep in (0.5, 0.9):
+            m = fa._hash_mask(jnp.int32(7), 0, 0, (1024, 1024), keep)
+            frac = float(jnp.mean(m > 0))
+            assert abs(frac - keep) < 0.01, (keep, frac)
+
+    def test_dropout_fwd_matches_dense_at_multitile_n(self, rng):
+        q, k, v, bias = _make(rng, b=1, h=2, n=2048, d=8)
+        seed = jnp.int32(42)
+        out = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3, seed=seed)
+        ref = self._dense_with_mask(q, k, v, bias, seed, 0.3)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.slow
+    def test_dropout_grads_match_dense_at_multitile_n(self, rng):
+        """N=2048: fwd sees ONE kv block, bwd dq sees TWO — the exact
+        round-1 desync configuration. Gradients must match a dense
+        reference built from the same hash mask."""
+        q, k, v, bias = _make(rng, b=1, h=1, n=2048, d=8)
+        seed = jnp.int32(3)
+
+        def loss_pallas(q, k, v, bias):
+            t = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.25, seed=seed)
+            return jnp.sum(jnp.sin(t) ** 2)
+
+        def loss_dense(q, k, v, bias):
+            t = self._dense_with_mask(q, k, v, bias, seed, 0.25)
+            return jnp.sum(jnp.sin(t) ** 2)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip("qkvb", gp, gd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4,
+                                       err_msg=f"d{name}")
+
+
 class TestSeqLenDispatch:
     def test_pick_block_prefers_128_multiples(self):
         assert fa._pick_block(16384, 512) == 512

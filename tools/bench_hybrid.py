@@ -60,9 +60,10 @@ def bench_attention():
     print(f"pallas attn fwd (B8 H8 N16384 d16): {dt*1e3:.1f} ms/call = "
           f"{flops/dt/1e12:.1f} TF/s", flush=True)
 
-    def make_bwd(kk):
+    def make_bwd(kk, rate=0.0):
         def loss(q):
-            return jnp.sum(fa.attention_bhnd(q, k, v, bias)
+            return jnp.sum(fa.attention_bhnd(q, k, v, bias, dropout_rate=rate,
+                                             seed=jnp.int32(7))
                            .astype(jnp.float32) ** 2)
 
         @jax.jit
@@ -77,6 +78,10 @@ def bench_attention():
     dt = slope(make_bwd, 1, 5)
     print(f"pallas attn fwd+bwd: {dt*1e3:.1f} ms/call = "
           f"{3.5*flops/dt/1e12:.1f} TF/s-equiv", flush=True)
+
+    dt = slope(lambda kk: make_bwd(kk, 0.1), 1, 5)
+    print(f"pallas attn fwd+bwd dropout=0.1 (hash mask): {dt*1e3:.1f} ms/call",
+          flush=True)
 
 
 def bench_hybrid():

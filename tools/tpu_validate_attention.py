@@ -1,12 +1,16 @@
-"""TPU-only validation of the K2 dropout path: dump the in-kernel dropout
-mask for a single-tile config, build a dense same-mask reference in pure
-JAX, and compare the Pallas kernel's forward output and all four gradients
-against it. (CPU interpret mode cannot run pltpu.prng_random_bits, so this
-runs on hardware: `python tools/tpu_validate_attention.py`.)
+"""TPU-only validation of the K2 dropout path at MULTI-TILE configs where
+forward and backward tile the score matrix differently (production blocks:
+fwd BLOCK_K=2048 vs bwd BWD_BLOCK_K=1024) — the exact configuration whose
+masks desynced in round 1's per-tile-PRNG scheme.
 
-Also re-checks determinism (same seed -> identical output) and mean
-preservation under dropout, and that the vmapped (stacked-expert) call path
-keeps forward/backward masks consistent.
+The dropout mask is a stateless hash of absolute (k, q) coordinates
+(fa._hash_mask, pure lax ops), so the dense same-mask reference is built
+directly on host; forward output and all four gradients are compared against
+it at N in {256 (single-tile), 4096 (multi-tile)}. Also re-checks
+determinism (same seed -> identical output) and that the vmapped
+(stacked-expert) call path keeps forward/backward masks consistent.
+
+Run on hardware: `python tools/tpu_validate_attention.py`.
 """
 
 import sys
@@ -16,80 +20,67 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from lunaris_orion_tpu.ops.pallas import flash_attention as fa
 
 RATE = 0.2
 SEED = jnp.int32(13)
-B, H, N, D = 1, 1, 256, 8
-fa.BLOCK_Q = 256
-fa.BLOCK_K = 256
 
 
-def mask_kernel(seed_ref, o_ref):
-    pltpu.prng_seed(fa._tile_seed(seed_ref[0, 0, 0], 0, 0))
-    o_ref[0] = fa._dropout_mask((N, N), 1.0 - RATE)
+def dense_same_mask(q, k, v, bias, seed, rate):
+    b, h, n, d = q.shape
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5) \
+        + bias[None, :, None, :]
+    p = jax.nn.softmax(s, -1)
+    row_seeds = fa._row_seeds(jnp.asarray(seed, jnp.int32), b * h)[:, 0, 0]
+    masks = jnp.stack([
+        fa._hash_mask(row_seeds[r], 0, 0, (n, n), 1.0 - rate).T  # -> [q, k]
+        for r in range(b * h)]).reshape(b, h, n, n)
+    return jnp.einsum("bhqk,bhkd->bhqd", p * masks, v)
 
 
-def dump_mask():
-    return pl.pallas_call(
-        mask_kernel,
-        grid=(1,),
-        in_specs=[pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, N, N), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, N, N), jnp.float32),
-    )(fa._row_seeds(SEED, 1))[0]  # [bk, bq]: kernel masks index [k, q]
-
-
-def main():
-    mask = dump_mask()
-    print("mask keep rate:", float(jnp.mean(mask > 0)))
-
+def check_config(n, d, label):
+    print(f"--- {label}: N={n} d={d} "
+          f"(fwd bk={fa._pick_block(n, fa.BLOCK_K)}, "
+          f"bwd bk={fa._pick_block(n, fa.BWD_BLOCK_K)}) ---")
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
-    q = jax.random.normal(ks[0], (B, H, N, D))
-    k = jax.random.normal(ks[1], (B, H, N, D))
-    v = jax.random.normal(ks[2], (B, H, N, D))
-    bias = jnp.zeros((H, N), jnp.float32)
-    tgt = jax.random.normal(jax.random.PRNGKey(9), (B, H, N, D))
-    dmat = mask.T  # [q, k]
-
-    def dense(q, k, v, bias):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (D ** -0.5) \
-            + bias[None, :, None, :]
-        p = jax.nn.softmax(s, -1)
-        return jnp.einsum("bhqk,bhkd->bhqd", p * dmat[None, None], v)
+    q = jax.random.normal(ks[0], (1, 2, n, d))
+    k = jax.random.normal(ks[1], (1, 2, n, d))
+    v = jax.random.normal(ks[2], (1, 2, n, d))
+    bias = (jax.random.normal(jax.random.PRNGKey(5), (2, n)) * 0.2
+            ).astype(jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (1, 2, n, d))
 
     def loss_dense(q, k, v, bias):
-        return jnp.sum((dense(q, k, v, bias) - tgt) ** 2)
+        return jnp.sum((dense_same_mask(q, k, v, bias, SEED, RATE) - tgt) ** 2)
 
     def loss_pallas(q, k, v, bias):
         o = fa.attention_bhnd(q, k, v, bias, dropout_rate=RATE, seed=SEED)
         return jnp.sum((o - tgt) ** 2)
 
-    o_d = dense(q, k, v, bias)
+    o_d = dense_same_mask(q, k, v, bias, SEED, RATE)
     o_p = fa.attention_bhnd(q, k, v, bias, dropout_rate=RATE, seed=SEED)
-    print("fwd max|diff| pallas vs dense-same-mask:",
-          float(jnp.max(jnp.abs(o_d - o_p))))
+    fdiff = float(jnp.max(jnp.abs(o_d - o_p)))
+    fscale = float(jnp.max(jnp.abs(o_d)))
+    print(f"fwd max|diff| pallas vs dense-same-mask: {fdiff:.6f} "
+          f"(scale {fscale:.3f})")
+    ok = fdiff < 0.005 * max(fscale, 1.0)  # MXU f32 pass precision
 
-    gd = jax.grad(loss_dense, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    ok = True
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    gp = jax.jit(jax.grad(loss_pallas, argnums=(0, 1, 2, 3)))(q, k, v, bias)
     for name, a, b in zip("qkvb", gp, gd):
         diff = float(jnp.max(jnp.abs(a - b)))
         scale = float(jnp.max(jnp.abs(b)))
         print(f"d{name}: max|diff| {diff:.6f} (scale {scale:.3f})")
         ok &= diff < 0.02 * max(scale, 1.0)
 
-    # determinism + vmap consistency (expert-stacked path)
-    o1 = fa.attention_bhnd(q, k, v, bias, dropout_rate=RATE, seed=SEED)
     o2 = fa.attention_bhnd(q, k, v, bias, dropout_rate=RATE, seed=SEED)
-    print("same-seed deterministic:", bool(jnp.all(o1 == o2)))
+    det = bool(jnp.all(o_p == o2))
+    print("same-seed deterministic:", det)
+    ok &= det
 
+    # vmap (stacked-expert) path: expert 0 with SEED must reproduce the
+    # unvmapped gradient exactly.
     qe = jnp.stack([q, q + 0.1])
     ke, ve = jnp.stack([k, k]), jnp.stack([v, v])
     be = jnp.stack([bias, bias])
@@ -100,11 +91,15 @@ def main():
                                           seed=s) - tgt) ** 2)
 
     gv = jax.grad(lambda qe: jnp.sum(jax.vmap(one)(qe, ke, ve, be, se)))(qe)
-    # expert 0 uses SEED -> must equal the unvmapped dq
-    dq_ref = gp[0]
-    diff = float(jnp.max(jnp.abs(gv[0] - dq_ref)))
+    diff = float(jnp.max(jnp.abs(gv[0] - gp[0])))
     print(f"vmap expert-0 dq vs unvmapped dq: max|diff| {diff:.6f}")
     ok &= diff < 1e-5
+    return ok
+
+
+def main():
+    ok = check_config(256, 8, "single-tile")
+    ok &= check_config(4096, 16, "multi-tile (fwd/bwd blocks differ)")
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
