@@ -94,6 +94,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0: capture a jax.profiler trace of that many steps")
     g.add_argument("--debug_nans", action="store_true",
                    help="enable jax nan-checking (slow; debugging aid)")
+    g.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                   default=d.use_pallas,
+                   help="force (--use_pallas, asserts TPU+shape support) or "
+                        "forbid (--no-use_pallas) the Pallas attention "
+                        "kernel; default: auto dispatch")
+    g.add_argument("--fuse_teacher", action=argparse.BooleanOptionalAction,
+                   default=d.fuse_teacher,
+                   help="run the two per-micro-batch teacher calls as one "
+                        "2B forward (default; --no-fuse_teacher restores "
+                        "reference-faithful sequential calls)")
+    g.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=d.remat,
+                   help="force gradient rematerialization on/off; default: "
+                        "the memory planner elides it when the step fits HBM")
     return p
 
 

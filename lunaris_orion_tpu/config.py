@@ -152,6 +152,11 @@ class TrainConfig:
     remat: Optional[bool] = None  # None: planner picks no-remat when it fits HBM
     fast_rng: bool = True       # rbg PRNG for dropout masks (1.3x faster hybrid
                                 # steps on TPU; threefry if False)
+    fuse_teacher: bool = True   # one 2B teacher forward instead of the
+                                # reference's two sequential calls per
+                                # micro-batch (train/step.py docstring; BN
+                                # batch stats become joint — documented
+                                # deviation). False = reference-faithful.
 
     def vae_config(self) -> VAEConfig:
         return VAEConfig(latent_dim=self.latent_dim, image_size=self.image_size)

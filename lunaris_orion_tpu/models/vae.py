@@ -48,8 +48,8 @@ def resblock_init(key, in_ch: int, out_ch: int) -> Params:
 
 def resblock(p: Params, x: jax.Array, *, groups: int = 8) -> jax.Array:
     identity = layers.conv2d(p["shortcut"], x) if "shortcut" in p else x
-    out = mish(layers.group_norm(p["gn1"], layers.conv2d(p["conv1"], x), groups=groups))
-    out = mish(layers.group_norm(p["gn2"], layers.conv2d(p["conv2"], out), groups=groups))
+    out = layers.group_norm_mish(p["gn1"], layers.conv2d(p["conv1"], x), groups=groups)
+    out = layers.group_norm_mish(p["gn2"], layers.conv2d(p["conv2"], out), groups=groups)
     return mish(out + identity)
 
 
@@ -87,7 +87,7 @@ def encode(p: Params, x: jax.Array, cfg: VAEConfig
     for i in range(cfg.num_down):
         blk = p[f"down{i}"]
         x = layers.conv2d(blk["conv"], x, stride=2)
-        x = mish(layers.group_norm(blk["gn"], x, groups=g))
+        x = layers.group_norm_mish(blk["gn"], x, groups=g)
         x = resblock(blk["res"], x, groups=g)
         if i < cfg.num_down - 1:
             skips.append(x)
@@ -129,7 +129,7 @@ def decode(p: Params, z: jax.Array, skips: Sequence[jax.Array],
     for i in range(n):
         blk = p[f"up{i}"]
         x = layers.conv2d_transpose(blk["conv"], x)
-        x = mish(layers.group_norm(blk["gn"], x, groups=g))
+        x = layers.group_norm_mish(blk["gn"], x, groups=g)
         skip_idx = n - 2 - i
         if 0 <= skip_idx < len(skips):
             x = x + skips[skip_idx]

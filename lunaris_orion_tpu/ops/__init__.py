@@ -14,6 +14,7 @@ from lunaris_orion_tpu.ops.layers import (  # noqa: F401
     linear_init,
     group_norm,
     group_norm_init,
+    group_norm_mish,
     layer_norm,
     layer_norm_init,
     batch_norm,

@@ -223,14 +223,29 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
 
     drop_active = train and dropout_rate > 0.0 and attn_rng is not None
     if impl == "auto":
+        from lunaris_orion_tpu.ops import dispatch
         from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len
         if n <= 1024:
             impl = "full"
-        elif jax.default_backend() == "tpu" and supported_seq_len(n):
+        elif (dispatch.choose("attention") == "pallas"
+              and supported_seq_len(n)):
             impl = "pallas"
         else:
             # non-128-multiple N (arbitrary image sizes) or non-TPU backend
             impl = "flash"
+    elif impl == "pallas":
+        # Forced (use_pallas=True): assert instead of silently degrading —
+        # a knob that can't assert its own setting masks regressions.
+        from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                "use_pallas=True requires a TPU backend (got "
+                f"{jax.default_backend()!r}); use use_pallas=None for auto "
+                "fallback or use_pallas=False for the XLA path")
+        if not supported_seq_len(n):
+            raise ValueError(
+                f"use_pallas=True: sequence length {n} (= {h}x{w}) is not a "
+                "multiple of 128; the Mosaic kernel cannot tile it")
     if impl == "full":
         out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
                              rng=attn_rng, train=train)

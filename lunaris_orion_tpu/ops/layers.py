@@ -142,6 +142,29 @@ def group_norm(params: Params, x: jax.Array, *, groups: int = 8,
     return out.astype(orig)
 
 
+def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
+                    eps: float = 1e-5) -> jax.Array:
+    """mish(GroupNorm(x)) — the VAE's ubiquitous epilogue
+    (lunar_generate.py:35-44,94-120,168-190). Dispatches between the K1
+    Pallas kernel (ops/pallas/gn_mish.py) and the XLA composition per
+    ops.dispatch; the Pallas path stays differentiable via an XLA-recompute
+    backward."""
+    from lunaris_orion_tpu.ops import dispatch
+    from lunaris_orion_tpu.ops.activations import mish
+
+    if dispatch.choose("gn_mish") == "pallas":
+        from lunaris_orion_tpu.ops.pallas.gn_mish import group_norm_mish_pallas
+        import functools
+
+        f = dispatch.pallas_fwd_xla_bwd(
+            functools.partial(group_norm_mish_pallas, groups=groups, eps=eps),
+            lambda xx, sc, bi: mish(
+                group_norm({"scale": sc, "bias": bi}, xx,
+                           groups=groups, eps=eps)))
+        return f(x, params["scale"], params["bias"])
+    return mish(group_norm(params, x, groups=groups, eps=eps))
+
+
 def layer_norm_init(dim: int) -> Params:
     return {"scale": jnp.ones((dim,), jnp.float32),
             "bias": jnp.zeros((dim,), jnp.float32)}

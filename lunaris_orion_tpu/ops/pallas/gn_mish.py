@@ -8,6 +8,10 @@ passes over the (large) activation.
 Group statistics are computed on the MXU: sums = x @ onehot[C,G] then
 mean/var broadcast back with onehot^T — keeping the lane axis on C
 throughout (no sub-128 lane reshapes).
+
+Selectable from ops.layers.group_norm_mish via ops.dispatch ("gn_mish");
+the XLA composition ships by default per the in-graph microbenchmark
+(BASELINE.md / tools/bench_dispatch.py).
 """
 
 from __future__ import annotations

@@ -4,9 +4,10 @@ One pass over the reconstruction and the posterior stats producing both
 scalars of the VAE loss (train_hybrid.py:858-862):
     recon_loss = mean((recon - x)^2)
     kl_loss    = -0.5 * mean(1 + logvar - mu^2 - exp(logvar))
-XLA fuses these reductions well already; this kernel exists as the native-
-tier equivalent and is dispatched only where the microbenchmark favors it
-(ops/dispatch.py).
+Selectable from train.losses.recon_kl via ops.dispatch ("mse_kl"); the XLA
+composition ships by default because XLA already fuses these reductions into
+the surrounding step (in-graph microbenchmark in BASELINE.md /
+tools/bench_dispatch.py).
 """
 
 from __future__ import annotations

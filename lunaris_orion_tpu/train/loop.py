@@ -71,6 +71,17 @@ def _fmt(metrics: dict) -> str:
     return " ".join(f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
 
 
+def _attn_impl(cfg: TrainConfig) -> str:
+    """use_pallas: True -> force Pallas (asserts backend/shape support,
+    ops/attention.py), False -> force the XLA flash composition,
+    None -> auto dispatch (ops/dispatch.py)."""
+    if cfg.use_pallas is True:
+        return "pallas"
+    if cfg.use_pallas is False:
+        return "flash"
+    return "auto"
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
@@ -128,7 +139,7 @@ class Trainer:
         cfg = self.cfg
         self.eval_step = jax.jit(
             make_eval_step(cfg, self.vcfg, self.tcfg,
-                           attn_impl="flash" if cfg.use_pallas is False else "auto"),
+                           attn_impl=_attn_impl(cfg)),
             in_shardings=(self.shardings, batch_sharding(self.mesh, leading_accum=False)))
 
         # --- data ---------------------------------------------------------
@@ -186,9 +197,7 @@ class Trainer:
         # prefer no-remat whenever the executable fits HBM.
         remat_candidates = ((False, True) if cfg.remat is None
                             else (cfg.remat,))
-        attn_impl = "auto"
-        if cfg.use_pallas is False:
-            attn_impl = "flash"   # force the XLA composition everywhere
+        attn_impl = _attn_impl(cfg)
         while True:
             trial = cfg.replace(batch_size=bs)
             batch_abs = jax.ShapeDtypeStruct(
@@ -238,11 +247,13 @@ class Trainer:
         self.logger.warning("Interrupt received — saving checkpoint...")
         self._interrupted = True
 
-    def _micro_crossed(self, every: int) -> bool:
+    def _micro_crossed(self, every: int, step: int) -> bool:
         """True if any micro-step in the last optimizer step hit `every`
-        (reference counts micro-batches, train_hybrid.py:945-952)."""
+        (reference counts micro-batches, train_hybrid.py:945-952). `step` is
+        the host-side optimizer-step counter — reading state.step would
+        force a device sync every iteration."""
         a = self.cfg.gradient_accumulation_steps
-        micro = int(self.state.step) * a
+        micro = step * a
         return (micro // every) != ((micro - a) // every) if every > 0 else False
 
     @property
@@ -300,47 +311,52 @@ class Trainer:
         result = {"stopped_early": False, "epochs": 0, "best_loss": float("inf")}
         best_loss = float(self.state.best_loss) if np.isfinite(
             float(self.state.best_loss)) else float("inf")
+        host_step = int(self.state.step)
         try:
             for epoch in range(cfg.num_epochs):
                 self.train_loader.set_epoch(epoch)
                 t_epoch = time.time()
-                losses = []
+                losses = []   # device scalars; floats only at boundaries
                 n_img = 0
                 for batch in self.train_loader:
-                    step_no = int(self.state.step)
-                    if cfg.profile_steps > 0 and epoch == 0 and step_no == 2:
+                    if cfg.profile_steps > 0 and epoch == 0 and host_step == 2:
                         jax.profiler.start_trace(
                             str(self.out_dir / "profile"))
                     self.state, m = self.train_step(self.state, batch)
                     if cfg.profile_steps > 0 and epoch == 0 \
-                            and step_no == 1 + cfg.profile_steps:
+                            and host_step == 1 + cfg.profile_steps:
                         jax.block_until_ready(m["total_loss"])
                         jax.profiler.stop_trace()
                         self.logger.info("Profiler trace -> %s",
                                          self.out_dir / "profile")
-                    losses.append(float(m["total_loss"]))
+                    host_step += 1
+                    # Keep metrics on device; sync only on a sliding window
+                    # so steps dispatch ahead of completion (the per-step
+                    # float() here serialized host and device).
+                    losses.append(m["total_loss"])
+                    if len(losses) >= 3:
+                        jax.block_until_ready(losses[-3])
                     n_img += cfg.batch_size * cfg.gradient_accumulation_steps
 
-                    if self._micro_crossed(cfg.log_every):
-                        self.metrics.log(m, int(self.state.step) *
+                    if self._micro_crossed(cfg.log_every, host_step):
+                        self.metrics.log(m, host_step *
                                          cfg.gradient_accumulation_steps)
-                        self.logger.info("step %d | %s",
-                                         int(self.state.step), _fmt(m))
-                    if self._micro_crossed(cfg.eval_save_freq):
+                        self.logger.info("step %d | %s", host_step, _fmt(m))
+                    if self._micro_crossed(cfg.eval_save_freq, host_step):
                         sample = self.dataset.gather(
                             np.arange(min(4, len(self.dataset))))
                         self._save_eval_samples(sample[None])
-                    if self._micro_crossed(cfg.sample_every):
+                    if self._micro_crossed(cfg.sample_every, host_step):
                         self._save_prior_samples()
-                    if self._micro_crossed(cfg.save_every):
-                        self.ckpt.save(int(self.state.step), self.state,
-                                       config=cfg)
+                    if self._micro_crossed(cfg.save_every, host_step):
+                        self.ckpt.save(host_step, self.state, config=cfg)
                     if self._interrupted:
                         raise KeyboardInterrupt
                 dt = time.time() - t_epoch
 
                 # ---- epoch summary (repaired: losses actually collected) --
-                avg_loss = float(np.mean(losses)) if losses else float("nan")
+                avg_loss = (float(np.mean([float(x) for x in losses]))
+                            if losses else float("nan"))
                 val_metrics = {}
                 for vb in self.val_loader:
                     vm = self.eval_step(self.state, vb)
@@ -360,7 +376,7 @@ class Trainer:
                     val_metrics["device_mem_gb"] = mem_gb
                 self.metrics.log({"epoch_loss": avg_loss,
                                   "sprites_per_sec": ips, **val_metrics},
-                                 int(self.state.step) *
+                                 host_step *
                                  cfg.gradient_accumulation_steps,
                                  prefix="epoch")
 
@@ -369,7 +385,7 @@ class Trainer:
                     best_loss = avg_loss
                     self.state = self.state.replace(
                         best_loss=jnp.asarray(best_loss, jnp.float32))
-                self.ckpt.save(int(self.state.step), self.state, config=cfg,
+                self.ckpt.save(host_step, self.state, config=cfg,
                                best=is_best, force=True)
                 result["epochs"] = epoch + 1
                 result["best_loss"] = best_loss
@@ -381,7 +397,7 @@ class Trainer:
                     break
         except KeyboardInterrupt:
             self.logger.warning("Interrupted — saving final checkpoint")
-            self.ckpt.save(int(self.state.step), self.state, config=cfg,
+            self.ckpt.save(host_step, self.state, config=cfg,
                            force=True)
             result["interrupted"] = True
         finally:

@@ -36,8 +36,8 @@ class LossWeights(NamedTuple):
     baseline_momentum: float = 0.9
 
 
-def recon_kl(recon: jax.Array, images: jax.Array, mu: jax.Array,
-             logvar: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _recon_kl_xla(recon: jax.Array, images: jax.Array, mu: jax.Array,
+                  logvar: jax.Array) -> Tuple[jax.Array, jax.Array]:
     recon32 = recon.astype(jnp.float32)
     img32 = images.astype(jnp.float32)
     mu32 = mu.astype(jnp.float32)
@@ -45,6 +45,20 @@ def recon_kl(recon: jax.Array, images: jax.Array, mu: jax.Array,
     recon_loss = jnp.mean(jnp.square(recon32 - img32))
     kl_loss = -0.5 * jnp.mean(1.0 + lv32 - jnp.square(mu32) - jnp.exp(lv32))
     return recon_loss, kl_loss
+
+
+def recon_kl(recon: jax.Array, images: jax.Array, mu: jax.Array,
+             logvar: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """MSE + KL (train_hybrid.py:858-862). Dispatches between the K3 fused
+    Pallas epilogue and the XLA composition per ops.dispatch (the Pallas
+    path stays differentiable via an XLA-recompute backward)."""
+    from lunaris_orion_tpu.ops import dispatch
+
+    if dispatch.choose("mse_kl") == "pallas" and recon.ndim == 4:
+        from lunaris_orion_tpu.ops.pallas.loss_epilogue import mse_kl_pallas
+        f = dispatch.pallas_fwd_xla_bwd(mse_kl_pallas, _recon_kl_xla)
+        return f(recon, images, mu, logvar)
+    return _recon_kl_xla(recon, images, mu, logvar)
 
 
 def hybrid_losses(
