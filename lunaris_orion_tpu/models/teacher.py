@@ -75,6 +75,15 @@ def _cbn(p, s, x, *, train, groups=1):
     return x, {"bn": bn_s}
 
 
+def _conv_bn(p, s, x, *, train):
+    """Conv -> BatchNorm with NO activation — the reference's ExpertBlock
+    shortcut path (lunar_evaluator.py:254-257) is nn.Conv2d -> BatchNorm2d
+    only, unlike its main-path conv stacks."""
+    x = layers.conv2d(p["conv"], x)
+    x, bn_s = layers.batch_norm(p["bn"], s["bn"], x, train=train)
+    return x, {"bn": bn_s}
+
+
 # ---------------------------------------------------------------------------
 # PixelArtFeatureExtractor (lunar_evaluator.py:57-112)
 # ---------------------------------------------------------------------------
@@ -138,7 +147,7 @@ def expert_block_apply(p, s, x, *, cfg: TeacherConfig, train: bool, rng: _Rng,
     (lunar_evaluator.py:241-275); we remat the same region.
     """
     if "shortcut" in p:
-        identity, sc_s = _cbn(p["shortcut"], s["shortcut"], x, train=train)
+        identity, sc_s = _conv_bn(p["shortcut"], s["shortcut"], x, train=train)
     else:
         identity, sc_s = x, None
 
