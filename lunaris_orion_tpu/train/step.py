@@ -18,6 +18,19 @@ Per micro-batch (mirrors _process_batch, train_hybrid.py:838-905):
      stop_gradient'd into the teacher and the advantage is stop_gradient'd,
   5. baseline EMA carried through the scan (the torch code syncs to host
      via .item() every batch, :876-879 — ours never leaves the device).
+
+Fused teacher mode (cfg.fuse_teacher, default True): the reference runs the
+teacher TWICE per micro-batch on same-shaped inputs (train_hybrid.py:853,865)
+— the dominant cost of the step. Fused, both calls become ONE forward on the
+batch-concatenation [x; stop_gradient(recon)] at 2B: half the kernel
+dispatches, double the attention/matmul occupancy. The semantic-conditioning
+cosine (teacher.apply's prompt branch) is applied post-hoc to the recon half
+against the x half's embedding — identical math. Documented deviation:
+BatchNorm train-mode batch statistics are computed over the JOINT 2B batch
+instead of per call, and the running stats advance once (not twice) per
+micro-batch; x and recon are distributionally close so the curves match
+within noise (docs/parity.md). `fuse_teacher=False` restores the
+reference-faithful two sequential calls.
 """
 
 from __future__ import annotations
@@ -57,30 +70,55 @@ def make_train_step(cfg: TrainConfig,
                     cfg.baseline_momentum)
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
 
+    fuse = getattr(cfg, "fuse_teacher", True)
+
     def micro_step(params, carry, batch):
         vae_params, teacher_params = params
         baseline, binit, stats, rng = carry
         rng, r_vae, r_t1, r_t2 = jax.random.split(rng, 4)
         x = normalize_images(batch, compute_dtype)
 
-        # (3) teacher on inputs — outside grad (torch.no_grad parity).
-        t1_out, stats1 = teacher_mod.apply(
-            teacher_params, stats, x, cfg=tcfg, train=True, rng=r_t1,
-            attn_impl=attn_impl, remat=remat)
-        prompt_emb = jax.lax.stop_gradient(t1_out["prompt_embedding"])
+        if not fuse:
+            # (3) teacher on inputs — outside grad (torch.no_grad parity).
+            t1_out, stats1 = teacher_mod.apply(
+                teacher_params, stats, x, cfg=tcfg, train=True, rng=r_t1,
+                attn_impl=attn_impl, remat=remat)
+            prompt_emb = jax.lax.stop_gradient(t1_out["prompt_embedding"])
 
         def loss_fn(diff_params):
             vp, tp = diff_params
             recon, mu, logvar = vae_mod.apply(vp, x, rng=r_vae, cfg=vcfg)
             recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
-            t2_out, stats2 = teacher_mod.apply(
-                tp, stats1, jax.lax.stop_gradient(recon), cfg=tcfg,
-                prompt_embedding=prompt_emb, train=True, rng=r_t2,
-                attn_impl=attn_impl, remat=remat)
+            if fuse:
+                # Both teacher calls as ONE 2B forward (module docstring).
+                both = jnp.concatenate(
+                    [x, jax.lax.stop_gradient(recon)], axis=0)
+                t_out, stats2 = teacher_mod.apply(
+                    tp, stats, both, cfg=tcfg, train=True, rng=r_t2,
+                    attn_impl=attn_impl, remat=remat)
+                b = x.shape[0]
+                own_emb = t_out["prompt_embedding"]
+                # x half's embedding conditions the recon half's semantic
+                # score — the same cosine the teacher applies internally
+                # when given prompt_embedding (models/teacher.py).
+                a = own_emb[b:].astype(jnp.float32)
+                pe = jax.lax.stop_gradient(own_emb[:b].astype(jnp.float32))
+                cos = jnp.sum(a * pe, -1) / jnp.maximum(
+                    jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(pe, axis=-1),
+                    1e-8)
+                quality_scores = t_out["quality_scores"][b:]
+                semantic_score = t_out["semantic_score"][b:] * cos[:, None]
+            else:
+                t2_out, stats2 = teacher_mod.apply(
+                    tp, stats1, jax.lax.stop_gradient(recon), cfg=tcfg,
+                    prompt_embedding=prompt_emb, train=True, rng=r_t2,
+                    attn_impl=attn_impl, remat=remat)
+                quality_scores = t2_out["quality_scores"]
+                semantic_score = t2_out["semantic_score"]
             vae_loss, teacher_loss, nb, nbi, metrics = losses_mod.hybrid_losses(
                 recon_loss=recon_loss, kl_loss=kl_loss,
-                quality_scores=t2_out["quality_scores"],
-                semantic_score=t2_out["semantic_score"],
+                quality_scores=quality_scores,
+                semantic_score=semantic_score,
                 baseline=baseline, baseline_initialized=binit, w=w)
             return vae_loss + teacher_loss, (nb, nbi, stats2, metrics)
 

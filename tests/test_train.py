@@ -118,6 +118,35 @@ class TestTrainStep:
         m2 = ev(state, batch)
         assert float(m["val_loss"]) == float(m2["val_loss"])
 
+    def test_fused_teacher_matches_unfused_closely(self):
+        """fuse_teacher=True (one 2B teacher forward) vs False (the
+        reference-faithful two sequential calls): the VAE path is untouched
+        so recon/kl match exactly; teacher-derived metrics sit in a loose
+        band (joint-BN + dropout-mask deviation, train/step.py docstring)."""
+        batch = _fake_batch(jax.random.PRNGKey(6), TINY_CFG)
+        out = {}
+        for fuse in (True, False):
+            cfg = TINY_CFG.replace(fuse_teacher=fuse)
+            state = create_state(jax.random.PRNGKey(0), cfg,
+                                 TINY_VCFG, TINY_TCFG)
+            step = jax.jit(make_train_step(cfg, TINY_VCFG, TINY_TCFG))
+            _, m = step(state, batch)
+            out[fuse] = m
+        np.testing.assert_allclose(float(out[True]["recon_loss"]),
+                                   float(out[False]["recon_loss"]), rtol=1e-5)
+        np.testing.assert_allclose(float(out[True]["kl_loss"]),
+                                   float(out[False]["kl_loss"]), rtol=1e-5)
+        for k in ("quality_reward", "total_loss"):
+            a, b = float(out[True][k]), float(out[False][k])
+            assert np.isfinite(a) and np.isfinite(b)
+            assert abs(a - b) < 0.25, (k, a, b)
+        # semantic_reward = sigmoid(head) * cosine(embeddings); at random
+        # init the cosine is near-random in [-1,1] and the modes use
+        # different dropout masks — only range/finiteness is meaningful.
+        for fuse in (True, False):
+            s = float(out[fuse]["semantic_reward"])
+            assert np.isfinite(s) and -1.0 <= s <= 1.0
+
     def test_bf16_mixed_precision(self):
         cfg = TINY_CFG.replace(mixed_precision=True)
         state = create_state(jax.random.PRNGKey(0), cfg, TINY_VCFG, TINY_TCFG)

@@ -84,16 +84,18 @@ def bench_attention():
           flush=True)
 
 
-def bench_hybrid():
+def bench_hybrid(fuse: bool = True):
+    """Full hybrid step at 128px reference defaults. remat=False matches the
+    static planner's choice at batch 8 on a 16GB chip (BASELINE.md)."""
     from lunaris_orion_tpu.config import TrainConfig
     from lunaris_orion_tpu.train.state import create_state
     from lunaris_orion_tpu.train.step import make_train_step
 
     BATCH = 8
     cfg = TrainConfig(batch_size=BATCH, gradient_accumulation_steps=1,
-                      mixed_precision=True)
+                      mixed_precision=True, fuse_teacher=fuse)
     state = create_state(jax.random.PRNGKey(0), cfg)
-    step = make_train_step(cfg)
+    step = make_train_step(cfg, remat=False)
     imgs = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (1, BATCH, 128, 128, 3), dtype=np.uint8))
 
@@ -107,11 +109,11 @@ def bench_hybrid():
             return losses[-1]
         return lambda: float(run(state))
 
-    print("compiling hybrid step chains (128px defaults)...", flush=True)
+    print(f"compiling hybrid step chains (128px defaults, "
+          f"fuse_teacher={fuse})...", flush=True)
     dt = slope(make, 1, 4, reps=2)
-    print(f"hybrid step: {dt*1e3:.0f} ms = {BATCH/dt:.2f} sprites/s/chip "
-          f"(teacher-attention-bound by the reference architecture)",
-          flush=True)
+    print(f"hybrid step (fuse_teacher={fuse}): {dt*1e3:.0f} ms = "
+          f"{BATCH/dt:.2f} sprites/s/chip", flush=True)
 
 
 if __name__ == "__main__":
@@ -122,5 +124,12 @@ if __name__ == "__main__":
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
-    bench_attention()
-    bench_hybrid()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["attn", "hybrid"], default=None)
+    ap.add_argument("--no-fuse", action="store_true")
+    a = ap.parse_args()
+    if a.only in (None, "attn"):
+        bench_attention()
+    if a.only in (None, "hybrid"):
+        bench_hybrid(fuse=not a.no_fuse)
