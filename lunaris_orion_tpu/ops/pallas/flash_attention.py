@@ -106,34 +106,39 @@ def _pos_lanes(n_blocks: int) -> jax.Array:
     return jnp.broadcast_to(pos, (n_blocks, 1, 128))
 
 
-def _hash_mask(row_seed, k0, q0, shape, keep_prob: float):
-    """Stateless dropout mask from ABSOLUTE (k, q) element coordinates.
+def _keep_mask(row_seed, k0, q0, shape, keep_prob: float):
+    """Stateless boolean dropout keep-mask from ABSOLUTE (k, q) coordinates.
 
     Block-decomposition independent: forward and backward kernels tile the
     score matrix differently (BLOCK_* vs BWD_BLOCK_*) yet regenerate
     bit-identical masks, because each element's decision depends only on
-    (row_seed, k0+row, q0+col) — murmur3-fmix32 avalanche over that triple.
-    Pure lax ops: also runs outside Pallas, so tests can build dense
-    same-mask references. `shape` is [bk, bq] (k rows, q cols); returns
-    f32 {0, 1/keep_prob}.
+    (row_seed, k0+row, q0+col). Pure lax ops: also runs outside Pallas, so
+    tests can build dense same-mask references. `shape` is [bk, bq].
+
+    The mixer is deliberately minimal — the VPU is the dropout bottleneck
+    (~10 full-tile ops/element was half the kernel's vector time in r1):
+    coordinate spreads by large odd constants are factored into a
+    column/row vector pair, so the per-element work is one broadcast add,
+    one xorshift (high->low), one i32 multiply (low->high avalanche into
+    the compared high bits) and the threshold compare — 5 full-tile ops.
+    Keep-fraction statistics are pinned by tests/test_pallas_attention.py.
     """
     bk, bq = shape
-    # Coordinate spreads are factored into a column/row vector pair so the
-    # per-element work is one broadcast add + a single-multiply xorshift
-    # mixer (the VPU is the dropout bottleneck; full-tile i32 multiplies are
-    # the expensive op). Inputs to the mixer already differ in high bits for
-    # adjacent coordinates because the spreads use large odd constants.
     col = (row_seed
            + (k0 + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0))
            * jnp.int32(_C2))
     row = ((q0 + jax.lax.broadcasted_iota(jnp.int32, (1, bq), 1))
            * jnp.int32(_C3))
     h = col + row
-    h = h ^ jax.lax.shift_right_logical(h, 16)
+    h = h ^ jax.lax.shift_right_logical(h, 15)
     h = h * jnp.int32(_C2)
-    h = h ^ jax.lax.shift_right_logical(h, 16)
     threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
-    keep = jax.lax.bitcast_convert_type(h, jnp.uint32) < threshold
+    return jax.lax.bitcast_convert_type(h, jnp.uint32) < threshold
+
+
+def _hash_mask(row_seed, k0, q0, shape, keep_prob: float):
+    """f32 {0, 1/keep_prob} mask (dense-reference form of _keep_mask)."""
+    keep = _keep_mask(row_seed, k0, q0, shape, keep_prob)
     return keep.astype(jnp.float32) * (1.0 / keep_prob)
 
 
@@ -142,8 +147,9 @@ def _hash_mask(row_seed, k0, q0, shape, keep_prob: float):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
-                o_ref, lse_ref, *, block_k: int, scale: float,
-                dropout_rate: float):
+                o_ref, lse_ref, *, block_k: int, dropout_rate: float):
+    # q arrives PRE-SCALED by d^-0.5 (applied once outside the custom_vjp,
+    # saving a full [bk, bq] multiply per tile in all three kernels).
     d = q_ref.shape[1]
     bq = q_ref.shape[2]
     n = k_ref.shape[2]
@@ -151,6 +157,7 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
     qT = q_ref[0]                       # [d, bq] native dtype (MXU input)
     row_seed = seed_ref[0, 0, 0]
     q_id = qpos_ref[0, 0, 0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(j, carry):
         acc, m, l = carry
@@ -158,7 +165,7 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
         vT = v_ref[0, :, pl.ds(j * block_k, block_k)]
         sT = jax.lax.dot_general(
             kT, qT, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale          # [bk, bq] f32
+            preferred_element_type=jnp.float32)                   # [bk, bq] f32
         b_blk = bias_ref[0, 0, pl.ds(j * block_k, block_k)]       # [bk]
         sT = sT + b_blk[:, None]
         m_new = jnp.maximum(m, jnp.max(sT, axis=0, keepdims=True))  # [1, bq]
@@ -166,8 +173,9 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
         if dropout_rate > 0.0:
-            pT_used = pT * _hash_mask(row_seed, j * block_k, q_id * bq,
-                                      pT.shape, 1.0 - dropout_rate)
+            keep = _keep_mask(row_seed, j * block_k, q_id * bq,
+                              pT.shape, 1.0 - dropout_rate)
+            pT_used = jnp.where(keep, pT * inv_keep, 0.0)
         else:
             pT_used = pT
         acc_new = acc * corr + jax.lax.dot_general(
@@ -188,9 +196,13 @@ def _lane_spec(index_map):
     return pl.BlockSpec((1, 1, 128), index_map, memory_space=pltpu.VMEM)
 
 
+_PARALLEL2 = pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel"))
+
+
 def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
-         scale: float, dropout_rate: float):
-    """bias3: [H, 1, N]; seed: int32 scalar array.
+         dropout_rate: float):
+    """qT pre-scaled by d^-0.5; bias3: [H, 1, N]; seed: int32 scalar array.
     Returns (oT [BH,d,N], lse [BH,1,N])."""
     bh, d, n = qT.shape
     h = bias3.shape[0]
@@ -199,9 +211,10 @@ def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
     grid = (bh, n // bq)
     vm = dict(memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, block_k=bk, scale=scale,
+        functools.partial(_fwd_kernel, block_k=bk,
                           dropout_rate=dropout_rate),
         grid=grid,
+        compiler_params=_PARALLEL2,
         in_specs=[
             _lane_spec(lambda b, i: (b, 0, 0)),                     # row seeds
             _lane_spec(lambda b, i: (i, 0, 0)),                     # q pos
@@ -229,8 +242,10 @@ def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
-                   lse_ref, delta_ref, dq_ref, *, block_k: int, scale: float,
+                   lse_ref, delta_ref, dq_ref, *, block_k: int,
                    dropout_rate: float):
+    # q pre-scaled; dq produced here is the gradient wrt the SCALED q — the
+    # chain through the outside scaling restores d^-0.5 automatically.
     d, bq = q_ref.shape[1], q_ref.shape[2]
     n = k_ref.shape[2]
     nk = n // block_k
@@ -240,23 +255,25 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
     delta = delta_ref[0]  # [1, bq]
     row_seed = seed_ref[0, 0, 0]
     q_id = qpos_ref[0, 0, 0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(j, dq):
         kT = k_ref[0, :, pl.ds(j * block_k, block_k)]
         vT = v_ref[0, :, pl.ds(j * block_k, block_k)]
         sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32)
         sT = sT + bias_ref[0, 0, pl.ds(j * block_k, block_k)][:, None]
         pT = jnp.exp(sT - lse)                                     # [bk, bq]
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            dpT = dpT * _hash_mask(row_seed, j * block_k, q_id * bq,
-                                   dpT.shape, 1.0 - dropout_rate)
+            keep = _keep_mask(row_seed, j * block_k, q_id * bq,
+                              dpT.shape, 1.0 - dropout_rate)
+            dpT = jnp.where(keep, dpT * inv_keep, 0.0)
         dsT = (pT * (dpT - delta)).astype(qT.dtype)                # [bk, bq]
         return dq + jax.lax.dot_general(
             kT, dsT, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale            # [d, bq]
+            preferred_element_type=jnp.float32)                    # [d, bq]
 
     dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((d, bq), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -264,7 +281,8 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
                     do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dbias_ref, *,
-                    block_q: int, scale: float, dropout_rate: float):
+                    block_q: int, dropout_rate: float):
+    # q pre-scaled: dk = q_scaled @ ds already carries the d^-0.5 factor.
     d, bk = k_ref.shape[1], k_ref.shape[2]
     n = q_ref.shape[2]
     nq = n // block_q
@@ -273,6 +291,7 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     bias_blk = bias_ref[0, 0, :][:, None]                           # [bk, 1]
     row_seed = seed_ref[0, 0, 0]
     k_id = kpos_ref[0, 0, 0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(i, carry):
         dk, dv, dbias = carry
@@ -281,22 +300,22 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         lse = lse_ref[0, 0:1, pl.ds(i * block_q, block_q)]
         delta = delta_ref[0, 0:1, pl.ds(i * block_q, block_q)]
         sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
+                                 preferred_element_type=jnp.float32)
         sT = sT + bias_blk
         pT = jnp.exp(sT - lse)                                      # [bk, bq]
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            mask = _hash_mask(row_seed, k_id * bk, i * block_q,
+            keep = _keep_mask(row_seed, k_id * bk, i * block_q,
                               pT.shape, 1.0 - dropout_rate)
-            dpT = dpT * mask
-            pT_v = pT * mask
+            dpT = jnp.where(keep, dpT * inv_keep, 0.0)
+            pT_v = jnp.where(keep, pT * inv_keep, 0.0)
         else:
             pT_v = pT
         dsT = pT * (dpT - delta)
         dk_new = dk + jax.lax.dot_general(
             qT, dsT.astype(qT.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale             # [d, bk]
+            preferred_element_type=jnp.float32)                     # [d, bk]
         dv_new = dv + jax.lax.dot_general(
             doT, pT_v.astype(doT.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                     # [d, bk]
@@ -318,16 +337,16 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _flash(qT, kT, vT, bias, seed, dropout_rate):
+    """qT PRE-SCALED by d^-0.5 (callers scale once; autodiff through that
+    outside multiply restores the factor on dq)."""
     o, _ = _fwd(qT, kT, vT, bias[:, None, :], seed, block_q=BLOCK_Q,
-                block_k=BLOCK_K, scale=qT.shape[1] ** -0.5,
-                dropout_rate=dropout_rate)
+                block_k=BLOCK_K, dropout_rate=dropout_rate)
     return o
 
 
 def _vjp_fwd(qT, kT, vT, bias, seed, dropout_rate):
     o, lse = _fwd(qT, kT, vT, bias[:, None, :], seed, block_q=BLOCK_Q,
-                  block_k=BLOCK_K, scale=qT.shape[1] ** -0.5,
-                  dropout_rate=dropout_rate)
+                  block_k=BLOCK_K, dropout_rate=dropout_rate)
     return o, (qT, kT, vT, bias, seed, o, lse)
 
 
@@ -335,7 +354,6 @@ def _vjp_bwd(dropout_rate, res, doT):
     qT, kT, vT, bias, seed, o, lse = res
     bh, d, n = qT.shape
     h = bias.shape[0]
-    scale = d ** -0.5
     bq = _pick_block(n, BWD_BLOCK_Q)
     bk = _pick_block(n, BWD_BLOCK_K)
     bias3 = bias[:, None, :]
@@ -345,9 +363,10 @@ def _vjp_bwd(dropout_rate, res, doT):
 
     vm = dict(memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, block_k=bk, scale=scale,
+        functools.partial(_bwd_dq_kernel, block_k=bk,
                           dropout_rate=dropout_rate),
         grid=(bh, n // bq),
+        compiler_params=_PARALLEL2,
         in_specs=[
             _lane_spec(lambda b, i: (b, 0, 0)),
             _lane_spec(lambda b, i: (i, 0, 0)),
@@ -365,9 +384,10 @@ def _vjp_bwd(dropout_rate, res, doT):
     )(seeds, _pos_lanes(n // bq), bias3, qT, kT, vT, doT, lse, delta)
 
     dk, dv, dbias_bh = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, block_q=bq, scale=scale,
+        functools.partial(_bwd_dkv_kernel, block_q=bq,
                           dropout_rate=dropout_rate),
         grid=(bh, n // bk),
+        compiler_params=_PARALLEL2,
         in_specs=[
             _lane_spec(lambda b, j: (b, 0, 0)),
             _lane_spec(lambda b, j: (j, 0, 0)),
@@ -409,7 +429,10 @@ def flash_attention_tpu(qT: jax.Array, kT: jax.Array, vT: jax.Array,
         seed = jnp.zeros((), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(())
-    return _flash(qT, kT, vT, bias, seed, float(dropout_rate))
+    # Scale q once here (outside the custom_vjp): kernels then skip the
+    # per-tile [bk, bq] multiply, and d^-0.5 re-enters dq via this op's AD.
+    scale = jnp.asarray(qT.shape[1] ** -0.5, qT.dtype)
+    return _flash(qT * scale, kT, vT, bias, seed, float(dropout_rate))
 
 
 def attention_bhnd(q, k, v, bias, *, dropout_rate: float = 0.0,
