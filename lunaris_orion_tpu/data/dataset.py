@@ -89,6 +89,16 @@ class SpriteDataset:
         row = self.labels.iloc[idx]
         return {c: row[c] for c in LABEL_COLUMNS if c in row}
 
+    def metadata_batch(self, indices: np.ndarray) -> dict:
+        """Column-wise metadata for a batch of indices: {column: np.ndarray}.
+        The reference's per-sample 8-field metadata dict
+        (train_hybrid.py:186-195), vectorized. Empty without labels."""
+        if self.labels is None:
+            return {}
+        rows = self.labels.iloc[np.asarray(indices)]
+        return {c: rows[c].to_numpy() for c in LABEL_COLUMNS
+                if c in rows.columns}
+
     def gather(self, indices: np.ndarray) -> np.ndarray:
         """Vectorized uint8 gather across shards -> [n, H, W, 3].
         Uses the native C++ gatherer when built (data/native.py)."""
@@ -121,12 +131,23 @@ class BatchLoader:
     Shuffles per epoch with a deterministic per-epoch rng; drops the ragged
     tail (reference drop_last=True, train_hybrid.py:569). If `sharding` is
     given, batches are staged to devices by a prefetch thread.
+
+    Multi-host (SURVEY.md §2.7 DCN axis): when `jax.process_count() > 1`,
+    every process iterates the same deterministic global index order but
+    gathers ONLY its own contiguous slice of each global batch, and the
+    staged array is assembled with `jax.make_array_from_process_local_data`
+    — per-host IO, one global array. Assumes the standard process-contiguous
+    device order along the batch axis (jax.make_mesh default). Single-host
+    behavior is unchanged. `with_metadata=True` additionally yields the
+    host-side per-sample metadata columns for the batch (the reference's
+    dataset metadata dict, train_hybrid.py:186-195 — its trainer never
+    consumes it either, so it stays off the device path by default).
     """
 
     def __init__(self, dataset: SpriteDataset, indices: np.ndarray, *,
                  batch_size: int, accum_steps: int = 1, seed: int = 0,
                  shuffle: bool = True, sharding=None, prefetch: int = 2,
-                 squeeze_accum: bool = False):
+                 squeeze_accum: bool = False, with_metadata: bool = False):
         self.ds = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
@@ -136,6 +157,7 @@ class BatchLoader:
         self.sharding = sharding
         self.prefetch = prefetch
         self.squeeze_accum = squeeze_accum and accum_steps == 1
+        self.with_metadata = with_metadata
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -144,35 +166,67 @@ class BatchLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def _local_slice(self, n: int) -> Tuple[int, int]:
+        """This process's contiguous row range of a global batch of n."""
+        import jax
+        p, np_ = jax.process_index(), jax.process_count()
+        assert n % np_ == 0, (
+            f"global batch {n} not divisible by {np_} processes")
+        per = n // np_
+        return p * per, (p + 1) * per
+
     def _host_batches(self) -> Iterator[np.ndarray]:
+        import jax
         idx = self.indices
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             idx = rng.permutation(idx)
         step = self.batch_size * self.accum
+        multihost = self.sharding is not None and jax.process_count() > 1
         for start in range(0, len(idx) - step + 1, step):
             chunk = idx[start:start + step]
+            if multihost:
+                # The global batch axis (sharded over 'data') is axis 1 of
+                # [accum, batch, ...] (axis 0 when squeeze_accum) — slice
+                # THAT axis per process, not flat rows.
+                if self.squeeze_accum:
+                    lo, hi = self._local_slice(len(chunk))
+                    chunk = chunk[lo:hi]
+                else:
+                    lo, hi = self._local_slice(self.batch_size)
+                    chunk = chunk.reshape(
+                        self.accum, self.batch_size)[:, lo:hi].reshape(-1)
             flat = self.ds.gather(chunk)
-            if self.squeeze_accum:
-                yield flat
-            else:
-                yield flat.reshape(self.accum, self.batch_size,
-                                   *flat.shape[1:])
+            if not self.squeeze_accum:
+                flat = flat.reshape(self.accum, -1, *flat.shape[1:])
+            meta = (self.ds.metadata_batch(chunk)
+                    if self.with_metadata else None)
+            yield (flat, meta) if self.with_metadata else flat
+
+    def _stage(self, hb):
+        """Host batch -> device array under self.sharding."""
+        import jax
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(self.sharding, hb)
+        return jax.device_put(hb, self.sharding)
 
     def __iter__(self):
         if self.sharding is None:
             yield from self._host_batches()
             return
 
-        import jax
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: list = []
 
         def producer():
             try:
-                for hb in self._host_batches():
-                    q.put(jax.device_put(hb, self.sharding))
+                for item in self._host_batches():
+                    if self.with_metadata:
+                        hb, meta = item
+                        q.put((self._stage(hb), meta))
+                    else:
+                        q.put(self._stage(item))
             except Exception as e:  # pragma: no cover
                 err.append(e)
             finally:

@@ -8,6 +8,7 @@ the pipeline never hard-depends on the native tier.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import subprocess
 from pathlib import Path
@@ -18,18 +19,26 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _SRC = Path(__file__).resolve().parent.parent / "native" / "gather.cpp"
-_SO = _SRC.parent / "libgather.so"
 _lib = None
 _tried = False
 
 
 def _build() -> Optional[ctypes.CDLL]:
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+    # The .so name embeds a source-content hash: always built from the
+    # committed source (never shipped prebuilt — binaries are gitignored),
+    # and rebuilt exactly when the source changes. mtime comparisons are
+    # unreliable after checkout (git stamps both files identically).
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so = _SRC.parent / f"libgather-{tag}.so"
+    if not so.exists():
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", str(_SO), str(_SRC)]
+               "-o", str(so), str(_SRC)]
         logger.info("Building native gather: %s", " ".join(cmd))
         subprocess.run(cmd, check=True, capture_output=True)
-    lib = ctypes.CDLL(str(_SO))
+        for stale in _SRC.parent.glob("libgather*.so"):
+            if stale != so:
+                stale.unlink(missing_ok=True)
+    lib = ctypes.CDLL(str(so))
     lib.gather_u8.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,

@@ -94,3 +94,58 @@ class TestSplitAndLoader:
         assert len(got) == 4
         assert got[0].sharding == shard
         assert got[0].shape == (2, 8, 32, 32, 3)
+
+
+class TestMetadataSurfacing:
+    def test_metadata_batch_vectorized(self, data_dir):
+        ds = SpriteDataset(data_dir, image_size=32)
+        idx = np.array([3, 77, 12])
+        md = ds.metadata_batch(idx)
+        assert set(md) == {"filename", "category", "prompt", "seed",
+                           "pixel_size", "guidance_scale", "pag_scale",
+                           "num_steps"}
+        for k, i in enumerate(idx):
+            assert md["prompt"][k] == ds.metadata(int(i))["prompt"]
+
+    def test_loader_with_metadata(self, data_dir):
+        """BatchLoader surfaces the reference's per-sample metadata
+        (train_hybrid.py:186-195) alongside each batch."""
+        ds = SpriteDataset(data_dir, image_size=32)
+        loader = BatchLoader(ds, np.arange(32), batch_size=4, accum_steps=2,
+                             shuffle=False, with_metadata=True)
+        batch, meta = next(iter(loader))
+        assert batch.shape == (2, 4, 32, 32, 3)
+        assert len(meta["category"]) == 8
+        np.testing.assert_array_equal(
+            meta["seed"], ds.metadata_batch(np.arange(8))["seed"])
+
+
+class TestPromptDiversity:
+    """VERDICT r1 item 10: prompt-bank breadth (reference: ~550 bank lines,
+    generate.py:81-617). Diversity target: dedup rate at 2,000 prompts < 1%
+    and >= 3x round-1 combination counts."""
+
+    def test_dedup_rate_under_one_percent(self):
+        from lunaris_orion_tpu.data.prompts import PromptEngine
+        eng = PromptEngine(seed=0)
+        n = 2000
+        prompts = [eng.build_prompt()[0] for _ in range(n)]
+        dupes = n - len(set(prompts))
+        assert dupes / n < 0.01, f"{dupes} duplicates in {n}"
+
+    def test_combination_counts(self):
+        from lunaris_orion_tpu.data.prompts import (CATEGORY_WEIGHTS,
+                                                    combination_count)
+        # round-1 character-category space was 96,000 combinations
+        for cat in CATEGORY_WEIGHTS:
+            assert combination_count(cat) >= 3 * 96_000, cat
+
+    def test_token_cap_and_envelope(self):
+        from lunaris_orion_tpu.data.prompts import (MAX_PROMPT_TOKENS,
+                                                    PromptEngine)
+        eng = PromptEngine(seed=1)
+        for _ in range(200):
+            p, cat = eng.build_prompt()
+            assert len(p.split()) <= MAX_PROMPT_TOKENS
+            assert p.startswith(f"[CATEGORY]{cat}[SUBJECT]")
+            assert p.endswith("[END]")
