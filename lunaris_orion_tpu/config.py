@@ -152,11 +152,16 @@ class TrainConfig:
     remat: Optional[bool] = None  # None: planner picks no-remat when it fits HBM
     fast_rng: bool = True       # rbg PRNG for dropout masks (1.3x faster hybrid
                                 # steps on TPU; threefry if False)
-    fuse_teacher: bool = True   # one 2B teacher forward instead of the
+    fuse_teacher: bool = False  # one 2B teacher forward instead of the
                                 # reference's two sequential calls per
-                                # micro-batch (train/step.py docstring; BN
-                                # batch stats become joint — documented
-                                # deviation). False = reference-faithful.
+                                # micro-batch. MEASURED SLOWER on v5e
+                                # (7.32 s vs 4.96 s per step at 128px
+                                # defaults): the two calls already inline
+                                # into one XLA program so there is no
+                                # dispatch overhead to save, and fusing
+                                # makes the (grad-free) first call's half
+                                # of the batch pay backward FLOPs too.
+                                # Kept as an option; see BASELINE.md.
 
     def vae_config(self) -> VAEConfig:
         return VAEConfig(latent_dim=self.latent_dim, image_size=self.image_size)

@@ -64,6 +64,11 @@ BLOCK_K = 2048
 BWD_BLOCK_Q = 512
 BWD_BLOCK_K = 1024
 
+# A bf16-probability variant (exp/select on bf16 tiles) was benchmarked on
+# v5e and measured ~15-25% SLOWER than the f32 path (59.6 vs 51.5 ms fwd at
+# the production shape) — Mosaic does not 2x-pack these bf16 VPU ops and
+# the extra casts cost; probabilities therefore stay f32 until the MXU cast.
+
 
 def supported_seq_len(n: int) -> bool:
     """Mosaic requires lane-dim blocks to be multiples of 128 (or the full
@@ -169,8 +174,8 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
         b_blk = bias_ref[0, 0, pl.ds(j * block_k, block_k)]       # [bk]
         sT = sT + b_blk[:, None]
         m_new = jnp.maximum(m, jnp.max(sT, axis=0, keepdims=True))  # [1, bq]
-        pT = jnp.exp(sT - m_new)                                  # [bk, bq]
         corr = jnp.exp(m - m_new)
+        pT = jnp.exp(sT - m_new)                                  # [bk, bq]
         l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
         if dropout_rate > 0.0:
             keep = _keep_mask(row_seed, j * block_k, q_id * bq,

@@ -19,18 +19,20 @@ Per micro-batch (mirrors _process_batch, train_hybrid.py:838-905):
   5. baseline EMA carried through the scan (the torch code syncs to host
      via .item() every batch, :876-879 — ours never leaves the device).
 
-Fused teacher mode (cfg.fuse_teacher, default True): the reference runs the
-teacher TWICE per micro-batch on same-shaped inputs (train_hybrid.py:853,865)
-— the dominant cost of the step. Fused, both calls become ONE forward on the
-batch-concatenation [x; stop_gradient(recon)] at 2B: half the kernel
-dispatches, double the attention/matmul occupancy. The semantic-conditioning
-cosine (teacher.apply's prompt branch) is applied post-hoc to the recon half
-against the x half's embedding — identical math. Documented deviation:
-BatchNorm train-mode batch statistics are computed over the JOINT 2B batch
-instead of per call, and the running stats advance once (not twice) per
-micro-batch; x and recon are distributionally close so the curves match
-within noise (docs/parity.md). `fuse_teacher=False` restores the
-reference-faithful two sequential calls.
+Fused teacher mode (cfg.fuse_teacher, default False): the reference runs the
+teacher TWICE per micro-batch on same-shaped inputs (train_hybrid.py:853,865).
+Fused, both calls become ONE forward on the batch-concatenation
+[x; stop_gradient(recon)] at 2B; the semantic-conditioning cosine
+(teacher.apply's prompt branch) is applied post-hoc to the recon half
+against the x half's embedding — identical math. MEASURED SLOWER on v5e
+(7.32 s vs 4.96 s per step at 128px defaults, tools/bench_hybrid.py):
+both calls already inline into ONE jitted XLA program, so fusing saves no
+dispatch overhead, while the first call — which is gradient-free in the
+sequential form (outside jax.grad) — starts paying backward FLOPs for its
+half of the 2B batch (+50% teacher backward). Kept as an option for
+hardware where occupancy dominates. Deviation when enabled: BatchNorm
+train-mode batch statistics are joint over 2B and running stats advance
+once (not twice) per micro-batch (docs/parity.md).
 """
 
 from __future__ import annotations

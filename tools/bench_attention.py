@@ -36,7 +36,19 @@ def main():
     ap.add_argument("--bwd", action="store_true")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--bq", type=int, default=0, help="override fwd BLOCK_Q")
+    ap.add_argument("--bk", type=int, default=0, help="override fwd BLOCK_K")
+    ap.add_argument("--bwd-bq", type=int, default=0)
+    ap.add_argument("--bwd-bk", type=int, default=0)
     args = ap.parse_args()
+    if args.bq:
+        fa.BLOCK_Q = args.bq
+    if args.bk:
+        fa.BLOCK_K = args.bk
+    if args.bwd_bq:
+        fa.BWD_BLOCK_Q = args.bwd_bq
+    if args.bwd_bk:
+        fa.BWD_BLOCK_K = args.bwd_bk
 
     bh = args.b * args.heads
     key = jax.random.PRNGKey(0)
