@@ -152,7 +152,16 @@ def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
     from lunaris_orion_tpu.ops import dispatch
     from lunaris_orion_tpu.ops.activations import mish
 
-    if dispatch.choose("gn_mish") == "pallas":
+    # The Pallas kernel holds one whole image per grid cell (GroupNorm stats
+    # span H*W) reshaped to [H*W, C]; with C below the 128-lane width Mosaic
+    # pads temporaries to full lanes, so the scoped-VMEM working set scales
+    # as H*W * max(C, 128) * 4 bytes * (several temps). Probed on v5e:
+    # 64x64 stages compile at any C, 128x128 stages do not — shapes past
+    # ~4 MB padded working set take the XLA composition.
+    hw = int(x.shape[1]) * int(x.shape[2])
+    padded_bytes = hw * max(int(x.shape[3]), 128) * 4
+    if (dispatch.choose("gn_mish") == "pallas"
+            and padded_bytes <= 4 * 2**20):
         from lunaris_orion_tpu.ops.pallas.gn_mish import group_norm_mish_pallas
         import functools
 

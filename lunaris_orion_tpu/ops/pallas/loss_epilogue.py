@@ -20,7 +20,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(recon_ref, x_ref, mu_ref, logvar_ref, sse_ref, kl_ref):
-    i = pl.program_id(0)
     r = recon_ref[0].astype(jnp.float32)
     x = x_ref[0].astype(jnp.float32)
     diff = r - x
@@ -34,9 +33,16 @@ def _kernel(recon_ref, x_ref, mu_ref, logvar_ref, sse_ref, kl_ref):
 
 def mse_kl_pallas(recon: jax.Array, x: jax.Array, mu: jax.Array,
                   logvar: jax.Array):
-    """recon/x: [B, H, W, C]; mu/logvar: [B, L] -> (recon_loss, kl_loss)."""
+    """recon/x: [B, H, W, C]; mu/logvar: [B, L] -> (recon_loss, kl_loss).
+
+    mu/logvar are carried as [B, 1, L] so per-sample blocks are (1, 1, L):
+    Mosaic requires the trailing two block dims to divide (8, 128) or equal
+    the array dims — a (1, L) block of a [B, L] array is illegal on TPU
+    (caught only in compiled mode; interpret-mode tests missed it in r1)."""
     b, h, w, c = recon.shape
     l = mu.shape[1]
+    mu3 = mu.reshape(b, 1, l)
+    logvar3 = logvar.reshape(b, 1, l)
     sse, kl = pl.pallas_call(
         _kernel,
         grid=(b,),
@@ -45,8 +51,10 @@ def mse_kl_pallas(recon: jax.Array, x: jax.Array, mu: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
@@ -57,7 +65,7 @@ def mse_kl_pallas(recon: jax.Array, x: jax.Array, mu: jax.Array,
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(recon, x, mu, logvar)
+    )(recon, x, mu3, logvar3)
     recon_loss = jnp.sum(sse) / (b * h * w * c)
     kl_loss = -0.5 * jnp.sum(kl) / (b * l)
     return recon_loss, kl_loss

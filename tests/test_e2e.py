@@ -61,6 +61,7 @@ class TestCLI:
         assert cfg.reward_scale == 0.1 and cfg.baseline_momentum == 0.9
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_train_checkpoint_resume(self, data_dir, tmp_path):
         from lunaris_orion_tpu.train.loop import Trainer

@@ -27,6 +27,7 @@ def ckpt_dir(tmp_path_factory):
 
 
 class TestGenerator:
+    @pytest.mark.slow
     def test_generate_and_save(self, ckpt_dir, tmp_path):
         from lunaris_orion_tpu.infer.generator import ImageGenerator
         gen = ImageGenerator(str(ckpt_dir))
@@ -78,6 +79,7 @@ class TestEvaluator:
         assert len(s["expert_weights"]) == TCFG.num_experts
         np.testing.assert_allclose(sum(s["expert_weights"]), 1.0, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_score_directory_shard(self, ckpt_dir, tmp_path):
         from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
         from lunaris_orion_tpu.data.synthetic import write_synthetic_dataset

@@ -3,11 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lunaris_orion_tpu.models import vae, teacher
 
 
 class TestVAE:
+    @pytest.mark.slow
     def test_forward_shapes(self, rng, tiny_vae_cfg):
         cfg = tiny_vae_cfg
         p = vae.init(rng, cfg)
@@ -42,6 +44,7 @@ class TestVAE:
         r2, _, _ = vae.apply(p, x, rng=None, cfg=cfg, sample_posterior=False)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
+    @pytest.mark.slow
     def test_grads_finite(self, rng, tiny_vae_cfg):
         cfg = tiny_vae_cfg
         p = vae.init(rng, cfg)
@@ -71,6 +74,7 @@ class TestVAE:
 
 
 class TestTeacher:
+    @pytest.mark.slow
     def test_forward_shapes(self, rng, tiny_teacher_cfg):
         cfg = tiny_teacher_cfg
         p, s = teacher.init(rng, cfg)
@@ -133,6 +137,7 @@ class TestTeacher:
                                    -np.asarray(out_none["semantic_score"]),
                                    rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.slow
     def test_grads_finite_with_remat(self, rng, tiny_teacher_cfg):
         cfg = tiny_teacher_cfg
         p, s = teacher.init(rng, cfg)

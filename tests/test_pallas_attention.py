@@ -53,6 +53,7 @@ class TestForward:
 
 
 class TestBackward:
+    @pytest.mark.slow
     def test_grads_match_dense(self, rng):
         q, k, v, bias = _make(rng, b=1, h=2, n=256, d=16)
 
@@ -71,6 +72,7 @@ class TestBackward:
                                        rtol=2e-4, atol=2e-4,
                                        err_msg=f"d{name}")
 
+    @pytest.mark.slow
     def test_grad_under_vmap(self, rng):
         """The kernel must compose with vmap (stacked experts)."""
         e = 3
@@ -133,6 +135,7 @@ class TestDropout:
             frac = float(jnp.mean(m > 0))
             assert abs(frac - keep) < 0.01, (keep, frac)
 
+    @pytest.mark.slow
     def test_dropout_fwd_matches_dense_at_multitile_n(self, rng):
         q, k, v, bias = _make(rng, b=1, h=2, n=2048, d=8)
         seed = jnp.int32(42)
@@ -141,6 +144,7 @@ class TestDropout:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     @pytest.mark.slow
     def test_dropout_grads_match_dense_at_multitile_n(self, rng):
         """N=2048: fwd sees ONE kv block, bwd dq sees TWO — the exact

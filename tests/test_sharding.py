@@ -40,6 +40,7 @@ def sharded():
     return mesh, shards, state
 
 
+@pytest.mark.slow
 class TestShardingPlacement:
     def test_fc_mu_is_tensor_parallel(self, sharded):
         mesh, shards, state = sharded
@@ -75,6 +76,7 @@ class TestShardingPlacement:
         assert (state2.vae_params["encoder"]["fc_mu"]["w"].sharding.spec
                 == P(None, "model"))
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self):
         """Pure-DP sharded step == single-device step (same seed)."""
         state = create_state(jax.random.PRNGKey(0), CFG, VCFG, TCFG)

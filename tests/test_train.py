@@ -49,6 +49,7 @@ def _fake_batch(key, cfg, accum=None):
         0, 256).astype(jnp.uint8)
 
 
+@pytest.mark.slow
 class TestTrainStep:
     @pytest.fixture(scope="class")
     def setup(self):
