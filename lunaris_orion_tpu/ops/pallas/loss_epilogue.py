@@ -27,8 +27,8 @@ def _kernel(recon_ref, x_ref, mu_ref, logvar_ref, sse_ref, kl_ref):
     mu = mu_ref[0].astype(jnp.float32)
     lv = logvar_ref[0].astype(jnp.float32)
     kl = jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv))
-    sse_ref[0, 0] = sse
-    kl_ref[0, 0] = kl
+    sse_ref[0, 0, 0] = sse
+    kl_ref[0, 0, 0] = kl
 
 
 def mse_kl_pallas(recon: jax.Array, x: jax.Array, mu: jax.Array,
@@ -56,13 +56,16 @@ def mse_kl_pallas(recon: jax.Array, x: jax.Array, mu: jax.Array,
             pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # per-sample scalars as [B, 1, 1] (trailing-dims rule, see above)
         out_specs=(
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(recon, x, mu3, logvar3)

@@ -77,6 +77,7 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--latent", type=int, default=512)
     ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--ops", type=str, default="gn_mish,mse_kl")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -91,7 +92,8 @@ def main():
         0, 256, (args.batch, 128, 128, 3), dtype=np.uint8))
 
     results = {}
-    for op in ("gn_mish", "mse_kl"):
+    ops = tuple(args.ops.split(","))
+    for op in ops:
         for impl in ("xla", "pallas"):
             dispatch.clear_overrides()
             dispatch.set_override(op, impl)
@@ -103,7 +105,7 @@ def main():
                 f"({args.batch/dt:.0f} sprites/s)")
     dispatch.clear_overrides()
 
-    for op in ("gn_mish", "mse_kl"):
+    for op in ops:
         x, p = results[f"{op}:xla"], results[f"{op}:pallas"]
         winner = "pallas" if p < x else "xla"
         print(json.dumps({
