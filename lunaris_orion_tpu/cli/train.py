@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the two per-micro-batch teacher calls as one "
                         "2B forward (default; --no-fuse_teacher restores "
                         "reference-faithful sequential calls)")
+    g.add_argument("--cached_prompt_embeddings", action="store_true",
+                   default=d.cached_prompt_embeddings,
+                   help="dataset-side prompt-embedding table (the "
+                        "reference's intended hook, train_hybrid.py:157-171)"
+                        " refreshed every --embed_refresh_epochs; skips the "
+                        "per-batch teacher call on inputs (~30%% step time)")
+    g.add_argument("--embed_refresh_epochs", type=int,
+                   default=d.embed_refresh_epochs)
     g.add_argument("--remat", action=argparse.BooleanOptionalAction,
                    default=d.remat,
                    help="force gradient rematerialization on/off; default: "

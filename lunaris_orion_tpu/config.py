@@ -152,6 +152,16 @@ class TrainConfig:
     remat: Optional[bool] = None  # None: planner picks no-remat when it fits HBM
     fast_rng: bool = True       # rbg PRNG for dropout masks (1.3x faster hybrid
                                 # steps on TPU; threefry if False)
+    cached_prompt_embeddings: bool = False
+                                # the reference's INTENDED dataset-side
+                                # prompt-embedding design
+                                # (train_hybrid.py:157-171, never enabled
+                                # there): keep a per-sample embedding table
+                                # refreshed every embed_refresh_epochs and
+                                # skip the per-micro-batch teacher call on
+                                # the inputs (~30% step time). Off by
+                                # default = live-path-faithful.
+    embed_refresh_epochs: int = 1
     fuse_teacher: bool = False  # one 2B teacher forward instead of the
                                 # reference's two sequential calls per
                                 # micro-batch. MEASURED SLOWER on v5e

@@ -147,7 +147,8 @@ class BatchLoader:
     def __init__(self, dataset: SpriteDataset, indices: np.ndarray, *,
                  batch_size: int, accum_steps: int = 1, seed: int = 0,
                  shuffle: bool = True, sharding=None, prefetch: int = 2,
-                 squeeze_accum: bool = False, with_metadata: bool = False):
+                 squeeze_accum: bool = False, with_metadata: bool = False,
+                 with_indices: bool = False):
         self.ds = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
@@ -158,6 +159,7 @@ class BatchLoader:
         self.prefetch = prefetch
         self.squeeze_accum = squeeze_accum and accum_steps == 1
         self.with_metadata = with_metadata
+        self.with_indices = with_indices
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -199,9 +201,13 @@ class BatchLoader:
             flat = self.ds.gather(chunk)
             if not self.squeeze_accum:
                 flat = flat.reshape(self.accum, -1, *flat.shape[1:])
-            meta = (self.ds.metadata_batch(chunk)
-                    if self.with_metadata else None)
-            yield (flat, meta) if self.with_metadata else flat
+            extras = []
+            if self.with_metadata:
+                extras.append(self.ds.metadata_batch(chunk))
+            if self.with_indices:
+                extras.append(chunk if self.squeeze_accum
+                              else chunk.reshape(self.accum, -1))
+            yield (flat, *extras) if extras else flat
 
     def _stage(self, hb):
         """Host batch -> device array under self.sharding."""
@@ -222,9 +228,8 @@ class BatchLoader:
         def producer():
             try:
                 for item in self._host_batches():
-                    if self.with_metadata:
-                        hb, meta = item
-                        q.put((self._stage(hb), meta))
+                    if isinstance(item, tuple):
+                        q.put((self._stage(item[0]), *item[1:]))
                     else:
                         q.put(self._stage(item))
             except Exception as e:  # pragma: no cover

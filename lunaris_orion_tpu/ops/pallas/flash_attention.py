@@ -69,6 +69,11 @@ BWD_BLOCK_K = 1024
 # the production shape) — Mosaic does not 2x-pack these bf16 VPU ops and
 # the extra casts cost; probabilities therefore stay f32 until the MXU cast.
 
+# Single-pass fused backward (see _bwd_fused_kernel); set
+# LUNARIS_ATTN_FUSED_BWD=0 to fall back to the two-kernel decomposition.
+import os as _os
+FUSED_BWD = _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "1") != "0"
+
 
 def supported_seq_len(n: int) -> bool:
     """Mosaic requires lane-dim blocks to be multiples of 128 (or the full
@@ -336,6 +341,74 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     dbias_ref[0] = dbias
 
 
+def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
+                      do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
+                      dbias_ref, *, block_q: int, dropout_rate: float):
+    """Single-pass backward: one program = one (bh, kv-block); dq is a
+    whole-row f32 VMEM accumulator revisited across the kv grid dimension
+    (1 MB at d=16, N=16384 — fits), zero-initialized at the first kv block.
+
+    Halves the backward's VPU work vs the classic two-kernel decomposition:
+    scores, exp and the dropout mask are computed ONCE per (q,k) tile pair
+    instead of once in the dq kernel and again in the dk/dv kernel, and
+    q/do stream once per bh row instead of once per kv block.
+    """
+    d, bk = k_ref.shape[1], k_ref.shape[2]
+    n = q_ref.shape[2]
+    nq = n // block_q
+    kT = k_ref[0]
+    vT = v_ref[0]
+    bias_blk = bias_ref[0, 0, :][:, None]                           # [bk, 1]
+    row_seed = seed_ref[0, 0, 0]
+    k_id = kpos_ref[0, 0, 0]
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+
+    @pl.when(k_id == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    def body(i, carry):
+        dk, dv, dbias = carry
+        qT = q_ref[0, :, pl.ds(i * block_q, block_q)]
+        doT = do_ref[0, :, pl.ds(i * block_q, block_q)]
+        lse = lse_ref[0, 0:1, pl.ds(i * block_q, block_q)]
+        delta = delta_ref[0, 0:1, pl.ds(i * block_q, block_q)]
+        sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        sT = sT + bias_blk
+        pT = jnp.exp(sT - lse)                                      # [bk, bq]
+        dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(row_seed, k_id * bk, i * block_q,
+                              pT.shape, 1.0 - dropout_rate)
+            dpT = jnp.where(keep, dpT * inv_keep, 0.0)
+            pT_v = jnp.where(keep, pT * inv_keep, 0.0)
+        else:
+            pT_v = pT
+        dsT = pT * (dpT - delta)
+        dsT_c = dsT.astype(qT.dtype)
+        dk = dk + jax.lax.dot_general(
+            qT, dsT_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # [d, bk]
+        dv = dv + jax.lax.dot_general(
+            doT, pT_v.astype(doT.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # [d, bk]
+        dq_ref[0, :, pl.ds(i * block_q, block_q)] += jax.lax.dot_general(
+            kT, dsT_c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                     # [d, bq]
+        dbias = dbias + jnp.sum(dsT, axis=1, keepdims=True).T       # [1, bk]
+        return dk, dv, dbias
+
+    dk0 = jnp.zeros((d, bk), jnp.float32)
+    dv0 = jnp.zeros((d, bk), jnp.float32)
+    db0 = jnp.zeros((1, bk), jnp.float32)
+    dk, dv, dbias = jax.lax.fori_loop(0, nq, body, (dk0, dv0, db0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dbias_ref[0] = dbias
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp wrapper (dropout_rate is a static nondiff arg)
 # ---------------------------------------------------------------------------
@@ -367,6 +440,45 @@ def _vjp_bwd(dropout_rate, res, doT):
                     axis=1, keepdims=True)  # [BH, 1, N]
 
     vm = dict(memory_space=pltpu.VMEM)
+    # Fused single-pass backward when the whole-row dq accumulator fits
+    # VMEM comfortably (d*N f32 <= 2 MB — always true at the production
+    # d=16 shapes); falls back to the classic two-kernel decomposition.
+    if FUSED_BWD and d * n * 4 <= 2 * 2**21:
+        dq32, dk, dv, dbias_bh = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, block_q=bq,
+                              dropout_rate=dropout_rate),
+            grid=(bh, n // bk),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            in_specs=[
+                _lane_spec(lambda b, j: (b, 0, 0)),
+                _lane_spec(lambda b, j: (j, 0, 0)),
+                pl.BlockSpec((1, 1, bk),
+                             lambda b, j: (jax.lax.rem(b, h), 0, j), **vm),
+                pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
+                pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+                pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+                pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
+                pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), **vm),
+                pl.BlockSpec((1, 1, n), lambda b, j: (b, 0, 0), **vm),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
+                pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+                pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
+                pl.BlockSpec((1, 1, bk), lambda b, j: (b, 0, j), **vm),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(qT.shape, jnp.float32),
+                jax.ShapeDtypeStruct(kT.shape, kT.dtype),
+                jax.ShapeDtypeStruct(vT.shape, vT.dtype),
+                jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(seeds, _pos_lanes(n // bk), bias3, qT, kT, vT, doT, lse, delta)
+        dbias = jnp.sum(dbias_bh.reshape(bh // h, h, n), axis=0)
+        return (dq32.astype(qT.dtype), dk, dv, dbias.astype(bias.dtype),
+                None)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=bk,
                           dropout_rate=dropout_rate),

@@ -149,7 +149,8 @@ class Trainer:
         self.train_loader = BatchLoader(
             self.dataset, tr_idx, batch_size=cfg.batch_size,
             accum_steps=cfg.gradient_accumulation_steps, seed=cfg.seed,
-            sharding=self.batch_shard, prefetch=cfg.prefetch_depth)
+            sharding=self.batch_shard, prefetch=cfg.prefetch_depth,
+            with_indices=cfg.cached_prompt_embeddings)
         self.val_loader = BatchLoader(
             self.dataset, va_idx, batch_size=cfg.batch_size, accum_steps=1,
             seed=cfg.seed, shuffle=False, squeeze_accum=True,
@@ -203,16 +204,22 @@ class Trainer:
             batch_abs = jax.ShapeDtypeStruct(
                 (trial.gradient_accumulation_steps, bs,
                  trial.image_size, trial.image_size, 3), jnp.uint8)
+            abstract_args = [self.abstract_state, batch_abs]
+            in_shardings = [self.shardings, self.batch_shard]
+            if cfg.cached_prompt_embeddings:
+                abstract_args.append(jax.ShapeDtypeStruct(
+                    (trial.gradient_accumulation_steps, bs,
+                     self.tcfg.embedding_dim), jnp.float32))
+                in_shardings.append(self.batch_shard)
             for remat in remat_candidates:
                 jitted = jax.jit(
                     make_train_step(trial, self.vcfg, self.tcfg, remat=remat,
                                     attn_impl=attn_impl),
-                    in_shardings=(self.shardings, self.batch_shard),
+                    in_shardings=tuple(in_shardings),
                     out_shardings=(self.shardings, None),
                     donate_argnums=0 if trial.donate_state else ())
                 t0 = time.time()
-                compiled = jitted.lower(self.abstract_state,
-                                        batch_abs).compile()
+                compiled = jitted.lower(*abstract_args).compile()
                 self.logger.info(
                     "train step compiled in %.1fs (batch %d, remat=%s)",
                     time.time() - t0, bs, remat)
@@ -241,6 +248,31 @@ class Trainer:
                     f"train step does not fit HBM even at batch {min_bs}; "
                     "reduce model dims or raise gradient_accumulation_steps")
             bs //= 2
+
+    # ------------------------------------------------------------------
+    def _refresh_embed_table(self) -> None:
+        """Recompute the per-sample prompt-embedding table (cached mode —
+        the reference's intended dataset-side hook, train_hybrid.py:157-171;
+        see train/step.py docstring for the deviation contract)."""
+        from lunaris_orion_tpu.train.step import make_embed_step
+        if not hasattr(self, "_embed_fn"):
+            self._embed_fn = jax.jit(make_embed_step(
+                self.cfg, self.tcfg, attn_impl=_attn_impl(self.cfg)))
+            self._embed_table = np.zeros(
+                (len(self.dataset), self.tcfg.embedding_dim), np.float32)
+        chunk = max(self.cfg.batch_size, 1)
+        t0 = time.time()
+        for start in range(0, len(self.dataset), chunk):
+            idx = np.arange(start, min(start + chunk, len(self.dataset)))
+            imgs = self.dataset.gather(idx)
+            if len(idx) < chunk:  # pad to the jitted shape
+                pad = np.zeros((chunk - len(idx),) + imgs.shape[1:], np.uint8)
+                imgs = np.concatenate([imgs, pad])
+            emb = np.asarray(self._embed_fn(self.state, jnp.asarray(imgs)))
+            self._embed_table[idx] = emb[:len(idx)]
+        self.logger.info("Prompt-embedding table refreshed "
+                         "(%d samples, %.1fs)",
+                         len(self.dataset), time.time() - t0)
 
     # ------------------------------------------------------------------
     def _handle_interrupt(self, signum, frame):
@@ -315,14 +347,26 @@ class Trainer:
         try:
             for epoch in range(cfg.num_epochs):
                 self.train_loader.set_epoch(epoch)
+                if cfg.cached_prompt_embeddings and \
+                        epoch % max(cfg.embed_refresh_epochs, 1) == 0:
+                    self._refresh_embed_table()
                 t_epoch = time.time()
                 losses = []   # device scalars; floats only at boundaries
                 n_img = 0
-                for batch in self.train_loader:
+                for item in self.train_loader:
+                    if cfg.cached_prompt_embeddings:
+                        batch, b_idx = item
+                        pe = jax.device_put(
+                            self._embed_table[b_idx], self.batch_shard)
+                    else:
+                        batch = item
                     if cfg.profile_steps > 0 and epoch == 0 and host_step == 2:
                         jax.profiler.start_trace(
                             str(self.out_dir / "profile"))
-                    self.state, m = self.train_step(self.state, batch)
+                    if cfg.cached_prompt_embeddings:
+                        self.state, m = self.train_step(self.state, batch, pe)
+                    else:
+                        self.state, m = self.train_step(self.state, batch)
                     if cfg.profile_steps > 0 and epoch == 0 \
                             and host_step == 1 + cfg.profile_steps:
                         jax.block_until_ready(m["total_loss"])

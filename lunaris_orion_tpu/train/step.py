@@ -73,14 +73,26 @@ def make_train_step(cfg: TrainConfig,
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
 
     fuse = getattr(cfg, "fuse_teacher", True)
+    cached = getattr(cfg, "cached_prompt_embeddings", False)
 
-    def micro_step(params, carry, batch):
+    def micro_step(params, carry, batch, pe_cached=None):
         vae_params, teacher_params = params
         baseline, binit, stats, rng = carry
         rng, r_vae, r_t1, r_t2 = jax.random.split(rng, 4)
         x = normalize_images(batch, compute_dtype)
 
-        if not fuse:
+        if cached:
+            # Dataset-side prompt embeddings (the reference's INTENDED
+            # design, train_hybrid.py:157-171, which its trainer never
+            # enables): the Trainer refreshes a per-sample embedding table
+            # periodically and the per-batch teacher call on the inputs is
+            # skipped entirely. Deviations (opt-in, docs/parity.md):
+            # embeddings lag the teacher by <= the refresh interval, and BN
+            # stats advance once (recon call) per micro-batch.
+            prompt_emb = jax.lax.stop_gradient(
+                pe_cached.astype(jnp.float32))
+            stats1 = stats
+        elif not fuse:
             # (3) teacher on inputs — outside grad (torch.no_grad parity).
             t1_out, stats1 = teacher_mod.apply(
                 teacher_params, stats, x, cfg=tcfg, train=True, rng=r_t1,
@@ -91,7 +103,7 @@ def make_train_step(cfg: TrainConfig,
             vp, tp = diff_params
             recon, mu, logvar = vae_mod.apply(vp, x, rng=r_vae, cfg=vcfg)
             recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
-            if fuse:
+            if fuse and not cached:
                 # Both teacher calls as ONE 2B forward (module docstring).
                 both = jnp.concatenate(
                     [x, jax.lax.stop_gradient(recon)], axis=0)
@@ -128,14 +140,15 @@ def make_train_step(cfg: TrainConfig,
             loss_fn, has_aux=True)((vae_params, teacher_params))
         return grads, (nb, nbi, stats2, rng), metrics
 
-    def train_step(state: TrainState, images: jax.Array
-                   ) -> Tuple[TrainState, Metrics]:
+    def _run(state: TrainState, images: jax.Array,
+             prompt_embs) -> Tuple[TrainState, Metrics]:
         params = (state.vae_params, state.teacher_params)
         accum = images.shape[0]
 
-        def scan_body(carry, batch):
+        def scan_body(carry, xs):
             grads_acc, inner = carry
-            grads, inner, metrics = micro_step(params, inner, batch)
+            batch, pe = xs
+            grads, inner, metrics = micro_step(params, inner, batch, pe)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, inner), metrics
 
@@ -143,8 +156,10 @@ def make_train_step(cfg: TrainConfig,
             lambda p: jnp.zeros_like(p, jnp.float32), params)
         inner0 = (state.baseline, state.baseline_initialized,
                   state.teacher_stats, state.rng)
+        xs = (images, prompt_embs if cached
+              else jnp.zeros((accum, 1), jnp.float32))  # unused placeholder
         (grads_sum, inner), metrics_stack = jax.lax.scan(
-            scan_body, (zero_grads, inner0), images)
+            scan_body, (zero_grads, inner0), xs)
         baseline, binit, stats, rng = inner
 
         inv = 1.0 / accum
@@ -179,7 +194,33 @@ def make_train_step(cfg: TrainConfig,
         )
         return new_state, metrics
 
+    if cached:
+        def train_step(state: TrainState, images: jax.Array,
+                       prompt_embs: jax.Array) -> Tuple[TrainState, Metrics]:
+            return _run(state, images, prompt_embs)
+    else:
+        def train_step(state: TrainState, images: jax.Array
+                       ) -> Tuple[TrainState, Metrics]:
+            return _run(state, images, None)
+
     return train_step
+
+
+def make_embed_step(cfg: TrainConfig, tcfg: TeacherConfig | None = None,
+                    *, attn_impl: str = "auto"):
+    """Deterministic (eval-mode) per-image prompt embeddings for the cached
+    table: images [B, H, W, C] uint8 -> [B, embedding_dim] f32."""
+    tcfg = tcfg or cfg.teacher_config()
+    compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+
+    def embed_step(state: TrainState, images: jax.Array) -> jax.Array:
+        x = normalize_images(images, compute_dtype)
+        out, _ = teacher_mod.apply(
+            state.teacher_params, state.teacher_stats, x, cfg=tcfg,
+            train=False, attn_impl=attn_impl)
+        return out["prompt_embedding"].astype(jnp.float32)
+
+    return embed_step
 
 
 def make_eval_step(cfg: TrainConfig,

@@ -148,6 +148,39 @@ class TestTrainStep:
             s = float(out[fuse]["semantic_reward"])
             assert np.isfinite(s) and -1.0 <= s <= 1.0
 
+    def test_cached_prompt_embeddings_step(self):
+        """cached_prompt_embeddings: the step takes a per-batch embedding
+        table slice instead of running the teacher on inputs; the recon/kl
+        path is untouched and the semantic reward responds to the given
+        embeddings (the reference's intended dataset-side hook,
+        train_hybrid.py:157-171)."""
+        from lunaris_orion_tpu.train.step import make_embed_step
+        cfg = TINY_CFG.replace(cached_prompt_embeddings=True)
+        state = create_state(jax.random.PRNGKey(0), cfg,
+                             TINY_VCFG, TINY_TCFG)
+        step = jax.jit(make_train_step(cfg, TINY_VCFG, TINY_TCFG))
+        batch = _fake_batch(jax.random.PRNGKey(6), cfg)
+        embed = jax.jit(make_embed_step(cfg, TINY_TCFG))
+        pe = jnp.stack([embed(state, b) for b in batch])  # [A, mb, emb]
+        assert pe.shape == (cfg.gradient_accumulation_steps,
+                            cfg.batch_size, TINY_TCFG.embedding_dim)
+        _, m = step(state, batch, pe)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), k
+        # reference (unfused, live-path) step on the same batch: recon/kl
+        # must match exactly — the VAE path is identical.
+        cfg2 = TINY_CFG.replace(fuse_teacher=False)
+        state2 = create_state(jax.random.PRNGKey(0), cfg2,
+                              TINY_VCFG, TINY_TCFG)
+        step2 = jax.jit(make_train_step(cfg2, TINY_VCFG, TINY_TCFG))
+        _, m2 = step2(state2, batch)
+        np.testing.assert_allclose(float(m["recon_loss"]),
+                                   float(m2["recon_loss"]), rtol=1e-5)
+        # different embeddings -> different semantic reward (it is consumed)
+        _, m3 = step(state, batch, -pe)
+        assert abs(float(m["semantic_reward"])
+                   - float(m3["semantic_reward"])) > 1e-6
+
     def test_bf16_mixed_precision(self):
         cfg = TINY_CFG.replace(mixed_precision=True)
         state = create_state(jax.random.PRNGKey(0), cfg, TINY_VCFG, TINY_TCFG)
