@@ -69,10 +69,15 @@ BWD_BLOCK_K = 1024
 # the production shape) — Mosaic does not 2x-pack these bf16 VPU ops and
 # the extra casts cost; probabilities therefore stay f32 until the MXU cast.
 
-# Single-pass fused backward (see _bwd_fused_kernel); set
-# LUNARIS_ATTN_FUSED_BWD=0 to fall back to the two-kernel decomposition.
+# Single-pass fused backward (see _bwd_fused_kernel): computes exp/masks
+# once per tile pair instead of once per backward kernel, but measured 9%
+# SLOWER than the two-kernel decomposition on v5e (166.3 vs 152.0 ms
+# fwd+bwd at the production shape, dropout 0.1) — the whole-row dq
+# accumulator + full q/do blocks crowd VMEM and cost more in lost DMA
+# double-buffering than the recompute saves. Off by default; set
+# LUNARIS_ATTN_FUSED_BWD=1 to re-measure on other hardware.
 import os as _os
-FUSED_BWD = _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "1") != "0"
+FUSED_BWD = _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "0") == "1"
 
 
 def supported_seq_len(n: int) -> bool:

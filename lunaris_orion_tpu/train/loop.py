@@ -188,9 +188,11 @@ class Trainer:
         not fit. The surviving compiled executable IS the train step — no
         second compile, no runtime OOM heuristics (replaces the reference's
         dynamic batch halving, train_hybrid.py:341-380)."""
+        from lunaris_orion_tpu.utils.hbm import device_hbm_bytes
         dev = jax.devices()[0]
-        stats = getattr(dev, "memory_stats", lambda: None)()
-        hbm = stats.get("bytes_limit") if stats else None
+        # memory_stats() can be hidden by the transport (utils/hbm.py) —
+        # r1's planner "fit" vacuously on this host and the worker died.
+        hbm = device_hbm_bytes(dev)
 
         min_bs = max(cfg.batch_size // 8, 1)  # reference floor (:253-257)
         bs = cfg.batch_size

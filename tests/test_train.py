@@ -190,3 +190,54 @@ class TestTrainStep:
         # params remain f32 master copies
         for leaf in jax.tree_util.tree_leaves(state.vae_params):
             assert leaf.dtype == jnp.float32
+
+
+class TestHBMFallback:
+    """Regression for r1's config-2 TPU-worker crash: memory_stats() is
+    hidden by some transports, so the static planner compared against None
+    and every plan 'fit' vacuously (utils/hbm.py)."""
+
+    def test_known_tpu_kind(self):
+        from lunaris_orion_tpu.utils.hbm import device_hbm_bytes
+
+        class Dev:
+            platform = "tpu"
+            device_kind = "TPU v5 lite"
+
+            def memory_stats(self):
+                return None
+
+        assert device_hbm_bytes(Dev()) == 16 * 2**30
+
+    def test_stats_win_when_present(self):
+        from lunaris_orion_tpu.utils.hbm import device_hbm_bytes
+
+        class Dev:
+            platform = "tpu"
+            device_kind = "TPU v5 lite"
+
+            def memory_stats(self):
+                return {"bytes_limit": 123456789}
+
+        assert device_hbm_bytes(Dev()) == 123456789
+
+    def test_cpu_unknown(self):
+        from lunaris_orion_tpu.utils.hbm import device_hbm_bytes
+
+        class Dev:
+            platform = "cpu"
+            device_kind = "cpu"
+
+            def memory_stats(self):
+                return None
+
+        assert device_hbm_bytes(Dev()) is None
+
+    def test_env_override(self, monkeypatch):
+        from lunaris_orion_tpu.utils.hbm import device_hbm_bytes
+        monkeypatch.setenv("LUNARIS_HBM_GB", "2.5")
+
+        class Dev:
+            platform = "cpu"
+
+        assert device_hbm_bytes(Dev()) == int(2.5 * 2**30)

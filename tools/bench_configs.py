@@ -95,18 +95,62 @@ def config1_cpu(image):
     jax.config.update("jax_platforms", None)
 
 
+def _planner_probe(cfg, vcfg, tcfg, *, remat, headroom=0.92):
+    """The Trainer's static memory plan (train/loop.py:_plan_and_compile),
+    reproduced for the bench: compile the donated sharded-free step, check
+    XLA's memory analysis against HBM, halve the micro-batch (doubling
+    accumulation — same global batch) until it fits. Returns the surviving
+    cfg. r1's config-2 run bypassed this and died at the HBM edge."""
+    from lunaris_orion_tpu.train.state import create_state
+    from lunaris_orion_tpu.train.step import make_train_step
+    from lunaris_orion_tpu.utils.hbm import device_hbm_bytes
+    dev = jax.devices()[0]
+    hbm = device_hbm_bytes(dev)
+    while True:
+        abstract = jax.eval_shape(
+            lambda k: create_state(k, cfg, vcfg, tcfg), jax.random.PRNGKey(0))
+        batch_abs = jax.ShapeDtypeStruct(
+            (cfg.gradient_accumulation_steps, cfg.batch_size,
+             cfg.image_size, cfg.image_size, 3), jnp.uint8)
+        jitted = jax.jit(make_train_step(cfg, vcfg, tcfg, remat=remat),
+                         donate_argnums=0)
+        compiled = jitted.lower(abstract, batch_abs).compile()
+        mem = compiled.memory_analysis()
+        need = None
+        if mem is not None:
+            need = (getattr(mem, "temp_size_in_bytes", 0)
+                    + getattr(mem, "argument_size_in_bytes", 0)
+                    + getattr(mem, "output_size_in_bytes", 0))
+        print(f"  planner: micro-batch {cfg.batch_size} x accum "
+              f"{cfg.gradient_accumulation_steps}: needs "
+              f"{(need or 0)/2**30:.2f} GB of {(hbm or 0)/2**30:.2f} GB",
+              file=sys.stderr, flush=True)
+        if hbm is None or need is None or need < headroom * hbm:
+            return cfg
+        if cfg.batch_size <= 1:
+            return cfg
+        cfg = cfg.replace(
+            batch_size=cfg.batch_size // 2,
+            gradient_accumulation_steps=cfg.gradient_accumulation_steps * 2)
+
+
 def config2_midrange(image):
     from lunaris_orion_tpu.config import TrainConfig
     # The reference's mid-range recipe targets a 24GB RTX 3090; on a 16GB
-    # v5e chip the Trainer's planner halves the micro-batch and doubles
-    # accumulation (same global batch 64) with remat — reproduced here.
+    # v5e chip the static planner shrinks the micro-batch (same global
+    # batch 64) with remat — the r1 run bypassed the planner and crashed
+    # the TPU worker at the HBM edge.
     cfg = TrainConfig(batch_size=16, gradient_accumulation_steps=4,
                       latent_dim=384, embedding_dim=192, feature_dim=384,
                       image_size=image, mixed_precision=True)
+    cfg = _planner_probe(cfg, cfg.vae_config(), cfg.teacher_config(),
+                         remat=True)
     dt, sprites = _slope_hybrid(cfg, cfg.vae_config(), cfg.teacher_config(),
                                 k_big=3, remat=True)
     emit("2_midrange_hybrid", image=image, step_ms=round(dt * 1e3, 1),
          sprites_per_sec=round(sprites, 2),
+         micro_batch=cfg.batch_size,
+         grad_accum=cfg.gradient_accumulation_steps,
          device=jax.devices()[0].platform)
 
 
