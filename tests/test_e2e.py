@@ -124,3 +124,28 @@ class TestEndToEnd:
             saved_leaf)
         assert float(t2.state.baseline) == baseline
         assert bool(t2.state.baseline_initialized)
+
+
+@pytest.mark.slow
+class TestCachedEmbeddings:
+    def test_trainer_cached_prompt_embeddings(self, data_dir, tmp_path):
+        """Trainer path of --cached_prompt_embeddings: embed table built and
+        refreshed, loader yields indices, the step consumes table slices."""
+        from lunaris_orion_tpu.train.loop import Trainer
+
+        out = tmp_path / "cached_run"
+        base = list(TINY_ARGS)
+        idx = base.index("--num_epochs")
+        base[idx + 1] = "1"
+        args = build_parser().parse_args(
+            ["--data_dir", str(data_dir), "--output_dir", str(out),
+             "--cached_prompt_embeddings"] + base)
+        trainer = Trainer(config_from_args(args))
+        result = trainer.train()
+        assert result["epochs"] == 1
+        assert np.isfinite(result["best_loss"])
+        assert trainer._embed_table.shape == (72, 8)
+        # table is non-trivial (teacher produced real embeddings)
+        assert np.abs(trainer._embed_table).sum() > 0
+        assert "Prompt-embedding table refreshed" in \
+            (out / "training.log").read_text()

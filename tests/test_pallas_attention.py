@@ -22,7 +22,7 @@ def _make(key, b=2, h=4, n=256, d=16, dtype=jnp.float32):
 
 
 class TestForward:
-    @pytest.mark.parametrize("n,d", [(256, 16), (128, 8), (512, 16)])
+    @pytest.mark.parametrize("n,d", [(256, 16), (128, 8), (512, 16), (384, 48), (256, 64)])
     def test_matches_dense(self, rng, n, d):
         q, k, v, bias = _make(rng, n=n, d=d)
         ref = xla_attn.full_attention(q, k, v, bias)

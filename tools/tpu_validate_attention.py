@@ -98,8 +98,21 @@ def check_config(n, d, label):
 
 
 def main():
-    ok = check_config(256, 8, "single-tile")
-    ok &= check_config(4096, 16, "multi-tile (fwd/bwd blocks differ)")
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma list of n:d pairs, e.g. 256:8,4096:48")
+    args = ap.parse_args()
+    configs = [(256, 8, "single-tile"),
+               (4096, 16, "multi-tile (fwd/bwd blocks differ)"),
+               (4096, 48, "mid-range head_dim (feature 384)"),
+               (2048, 64, "high-end head_dim (feature 512)")]
+    if args.only:
+        pairs = {tuple(map(int, p.split(":"))) for p in args.only.split(",")}
+        configs = [c for c in configs if (c[0], c[1]) in pairs]
+    ok = True
+    for n, d, label in configs:
+        ok &= check_config(n, d, label)
     print("RESULT:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
