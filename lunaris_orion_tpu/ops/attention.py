@@ -222,13 +222,19 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
         attn_rng, proj_rng = jax.random.split(rng)
 
     drop_active = train and dropout_rate > 0.0 and attn_rng is not None
+    head_dim = c // num_heads
     if impl == "auto":
         from lunaris_orion_tpu.ops import dispatch
         from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len
         if n <= 1024:
             impl = "full"
         elif (dispatch.choose("attention") == "pallas"
-              and supported_seq_len(n)):
+              and supported_seq_len(n) and head_dim == 16):
+            # head_dim gate: 16 (the reference-default shape) is validated
+            # on hardware; d=48 (feature 384) crashed the TPU worker and
+            # d=8 failed the hardware validator (2026-08-17) — other dims
+            # take the XLA flash path until tools/tpu_validate_attention.py
+            # passes for them. Forced use_pallas=True bypasses the gate.
             impl = "pallas"
         else:
             # non-128-multiple N (arbitrary image sizes) or non-TPU backend
