@@ -29,7 +29,14 @@ SEED = jnp.int32(13)
 
 def dense_same_mask(q, k, v, bias, seed, rate):
     b, h, n, d = q.shape
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5) \
+    # Scale q BEFORE the matmul exactly like the kernel does
+    # (flash_attention_tpu pre-scales once outside the custom_vjp): on TPU,
+    # f32 matmuls run at default (bf16-pass) MXU precision on BOTH sides,
+    # and scaling after the matmul would bf16-round DIFFERENT q values than
+    # the kernel rounds — decorrelating the two sides' rounding error and
+    # inflating the comparison by ~2x (measured: 0.78% vs the 0.5% gate at
+    # d=8). Same math; correlated rounding.
+    s = jnp.einsum("bhqd,bhkd->bhqk", q * (d ** -0.5), k) \
         + bias[None, :, None, :]
     p = jax.nn.softmax(s, -1)
     row_seeds = fa._row_seeds(jnp.asarray(seed, jnp.int32), b * h)[:, 0, 0]
