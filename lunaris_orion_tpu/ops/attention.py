@@ -229,12 +229,14 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
         if n <= 1024:
             impl = "full"
         elif (dispatch.choose("attention") == "pallas"
-              and supported_seq_len(n) and head_dim == 16):
-            # head_dim gate: 16 (the reference-default shape) is validated
-            # on hardware; d=48 (feature 384) crashed the TPU worker and
-            # d=8 failed the hardware validator (2026-08-17) — other dims
-            # take the XLA flash path until tools/tpu_validate_attention.py
-            # passes for them. Forced use_pallas=True bypasses the gate.
+              and supported_seq_len(n)
+              and head_dim % (16 if q.dtype == jnp.bfloat16 else 8) == 0):
+            # head_dim gate = Mosaic sublane tiling (bf16 16 / f32 8).
+            # d in {8, 16, 48, 64} is hardware-validated
+            # (tools/tpu_validate_attention.py PASS, 2026-08-17). Earlier
+            # worker crashes attributed to d=48 reproduced on the pure-XLA
+            # path too and are a transport property (long single XLA
+            # executions kill the relay worker), not a kernel fault.
             impl = "pallas"
         else:
             # non-128-multiple N (arbitrary image sizes) or non-TPU backend

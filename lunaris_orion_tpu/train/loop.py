@@ -221,17 +221,29 @@ class Trainer:
                     out_shardings=(self.shardings, None),
                     donate_argnums=0 if trial.donate_state else ())
                 t0 = time.time()
-                compiled = jitted.lower(*abstract_args).compile()
-                self.logger.info(
-                    "train step compiled in %.1fs (batch %d, remat=%s)",
-                    time.time() - t0, bs, remat)
-                mem = compiled.memory_analysis()
                 need = None
-                if mem is not None:
-                    need = (getattr(mem, "temp_size_in_bytes", 0)
-                            + getattr(mem, "argument_size_in_bytes", 0)
-                            + getattr(mem, "output_size_in_bytes", 0))
-                if hbm is None or need is None or need < 0.92 * hbm:
+                try:
+                    compiled = jitted.lower(*abstract_args).compile()
+                    self.logger.info(
+                        "train step compiled in %.1fs (batch %d, remat=%s)",
+                        time.time() - t0, bs, remat)
+                    mem = compiled.memory_analysis()
+                    if mem is not None:
+                        need = (getattr(mem, "temp_size_in_bytes", 0)
+                                + getattr(mem, "argument_size_in_bytes", 0)
+                                + getattr(mem, "output_size_in_bytes", 0))
+                except Exception as e:
+                    # XLA:TPU reports >HBM allocations as a compile-time
+                    # permanent error rather than via memory_analysis —
+                    # treat as "too big" and continue planning.
+                    if "out of memory" not in str(e).lower():
+                        raise
+                    self.logger.info(
+                        "batch %d remat=%s: compile-time HBM OOM (%s)",
+                        bs, remat, str(e).splitlines()[-1][:120])
+                    need = float("inf")
+                if need != float("inf") and (
+                        hbm is None or need is None or need < 0.92 * hbm):
                     if need and hbm:
                         self.logger.info(
                             "Static memory plan: step needs %.2f GB of "
@@ -244,7 +256,8 @@ class Trainer:
                     return trial, compiled
                 self.logger.info(
                     "batch %d remat=%s needs %.2f GB > %.2f GB budget",
-                    bs, remat, need / 2**30, 0.92 * hbm / 2**30)
+                    bs, remat, need / 2**30,
+                    0.92 * hbm / 2**30 if hbm else float("nan"))
             if bs <= min_bs:
                 raise RuntimeError(
                     f"train step does not fit HBM even at batch {min_bs}; "

@@ -114,18 +114,26 @@ def _planner_probe(cfg, vcfg, tcfg, *, remat, headroom=0.92):
              cfg.image_size, cfg.image_size, 3), jnp.uint8)
         jitted = jax.jit(make_train_step(cfg, vcfg, tcfg, remat=remat),
                          donate_argnums=0)
-        compiled = jitted.lower(abstract, batch_abs).compile()
-        mem = compiled.memory_analysis()
         need = None
-        if mem is not None:
-            need = (getattr(mem, "temp_size_in_bytes", 0)
-                    + getattr(mem, "argument_size_in_bytes", 0)
-                    + getattr(mem, "output_size_in_bytes", 0))
+        try:
+            compiled = jitted.lower(abstract, batch_abs).compile()
+            mem = compiled.memory_analysis()
+            if mem is not None:
+                need = (getattr(mem, "temp_size_in_bytes", 0)
+                        + getattr(mem, "argument_size_in_bytes", 0)
+                        + getattr(mem, "output_size_in_bytes", 0))
+        except Exception as e:
+            # XLA:TPU reports >HBM allocations as a compile-time permanent
+            # error rather than via memory_analysis — treat as "too big".
+            if "out of memory" not in str(e).lower():
+                raise
+            need = float("inf")
         print(f"  planner: micro-batch {cfg.batch_size} x accum "
               f"{cfg.gradient_accumulation_steps}: needs "
               f"{(need or 0)/2**30:.2f} GB of {(hbm or 0)/2**30:.2f} GB",
               file=sys.stderr, flush=True)
-        if hbm is None or need is None or need < headroom * hbm:
+        if need != float("inf") and (
+                hbm is None or need is None or need < headroom * hbm):
             return cfg
         if cfg.batch_size <= 1:
             return cfg
