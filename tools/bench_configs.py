@@ -147,18 +147,29 @@ def config2_midrange(image):
     # The reference's mid-range recipe targets a 24GB RTX 3090; on a 16GB
     # v5e chip the static planner shrinks the micro-batch (same global
     # batch 64) with remat — the r1 run bypassed the planner and crashed
-    # the TPU worker at the HBM edge.
+    # the TPU worker at the HBM edge. This host's relay additionally kills
+    # any single XLA execution past ~1-2 minutes, so the grad-accum scan
+    # cannot run as one program here: we time the micro-step (accum=1,
+    # identical math — the recipe's step is `accum` such micro-steps plus
+    # one optimizer update) and derive the recipe rate.
     cfg = TrainConfig(batch_size=16, gradient_accumulation_steps=4,
                       latent_dim=384, embedding_dim=192, feature_dim=384,
                       image_size=image, mixed_precision=True)
+    recipe_global = cfg.batch_size * cfg.gradient_accumulation_steps
     cfg = _planner_probe(cfg, cfg.vae_config(), cfg.teacher_config(),
                          remat=True)
-    dt, sprites = _slope_hybrid(cfg, cfg.vae_config(), cfg.teacher_config(),
-                                k_big=3, remat=True)
-    emit("2_midrange_hybrid", image=image, step_ms=round(dt * 1e3, 1),
+    micro = cfg.replace(gradient_accumulation_steps=1)
+    dt, _ = _slope_hybrid(micro, micro.vae_config(), micro.teacher_config(),
+                          k_big=3, remat=True)
+    sprites = micro.batch_size / dt
+    emit("2_midrange_hybrid", image=image,
+         micro_step_ms=round(dt * 1e3, 1),
          sprites_per_sec=round(sprites, 2),
-         micro_batch=cfg.batch_size,
-         grad_accum=cfg.gradient_accumulation_steps,
+         micro_batch=micro.batch_size,
+         planned_grad_accum=recipe_global // micro.batch_size,
+         derived_recipe_step_s=round(
+             dt * recipe_global / micro.batch_size, 2),
+         note="micro-step timing; relay kills multi-minute executions",
          device=jax.devices()[0].platform)
 
 
@@ -255,7 +266,7 @@ def main():
     if "3" in only:
         config3_highend(image)
     if "4" in only:
-        config4_resume(32 if args.smoke else 32, tmp)  # trainer loop: 32px
+        config4_resume(image, tmp)
     if "5" in only:
         config5_inference(image, tmp)
 
