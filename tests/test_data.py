@@ -149,3 +149,38 @@ class TestPromptDiversity:
             assert len(p.split()) <= MAX_PROMPT_TOKENS
             assert p.startswith(f"[CATEGORY]{cat}[SUBJECT]")
             assert p.endswith("[END]")
+
+
+class TestMultiHostSlicing:
+    """Per-host slicing of the global batch axis (BatchLoader multi-host
+    path): each process must take its contiguous slice of the BATCH axis of
+    [accum, batch, ...], not of the flattened rows."""
+
+    def test_local_slice_partitions_batch_axis(self, data_dir, monkeypatch):
+        import jax
+        ds = SpriteDataset(data_dir, image_size=32)
+        full = BatchLoader(ds, np.arange(64), batch_size=8, accum_steps=2,
+                           shuffle=False)
+        full_batch = next(iter(full._host_batches()))  # [2, 8, 32, 32, 3]
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        got = {}
+        for pidx in (0, 1):
+            monkeypatch.setattr(jax, "process_index", lambda p=pidx: p)
+            loader = BatchLoader(ds, np.arange(64), batch_size=8,
+                                 accum_steps=2, shuffle=False,
+                                 sharding=object())  # enables multihost path
+            got[pidx] = next(iter(loader._host_batches()))
+            assert got[pidx].shape == (2, 4, 32, 32, 3)
+        np.testing.assert_array_equal(got[0], full_batch[:, :4])
+        np.testing.assert_array_equal(got[1], full_batch[:, 4:])
+
+    def test_uneven_split_rejected(self, data_dir, monkeypatch):
+        import jax
+        ds = SpriteDataset(data_dir, image_size=32)
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        monkeypatch.setattr(jax, "process_index", lambda: 0)
+        loader = BatchLoader(ds, np.arange(64), batch_size=8, accum_steps=1,
+                             shuffle=False, sharding=object())
+        with pytest.raises(AssertionError, match="not divisible"):
+            next(iter(loader._host_batches()))
