@@ -104,6 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run the two per-micro-batch teacher calls as one "
                         "2B forward (default; --no-fuse_teacher restores "
                         "reference-faithful sequential calls)")
+    g.add_argument("--bf16_momentum", action="store_true",
+                   default=d.bf16_momentum,
+                   help="bf16 Adam first moments (halves m-state HBM "
+                        "traffic; second moments stay f32)")
     g.add_argument("--cached_prompt_embeddings", action="store_true",
                    default=d.cached_prompt_embeddings,
                    help="dataset-side prompt-embedding table (the "

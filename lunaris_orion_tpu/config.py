@@ -152,6 +152,9 @@ class TrainConfig:
     remat: Optional[bool] = None  # None: planner picks no-remat when it fits HBM
     fast_rng: bool = True       # rbg PRNG for dropout masks (1.3x faster hybrid
                                 # steps on TPU; threefry if False)
+    bf16_momentum: bool = False  # bf16 Adam first moments (halves m-state
+                                 # HBM traffic; v stays f32). Off =
+                                 # reference-faithful f32 optimizer state.
     cached_prompt_embeddings: bool = False
                                 # the reference's INTENDED dataset-side
                                 # prompt-embedding design

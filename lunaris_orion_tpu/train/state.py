@@ -41,12 +41,18 @@ def make_optimizers(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
     """2x (clip_by_global_norm -> AdamW with cosine-warm-restart LR),
     matching train_hybrid.py:504-527 + the per-step clip at :913-914."""
 
+    # bf16 first moments (optax mu_dtype) halve Adam's m-state HBM traffic
+    # — a standard production knob; v (second moments) stay f32 for
+    # stability. Off by default = reference-faithful f32 state.
+    mu_dtype = (jnp.bfloat16 if getattr(cfg, "bf16_momentum", False)
+                else None)
+
     def tx(base_lr: float) -> optax.GradientTransformation:
         sched = cosine_warm_restarts(base_lr, cfg.scheduler_t0, cfg.min_lr)
         return optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=cfg.weight_decay),
+                        weight_decay=cfg.weight_decay, mu_dtype=mu_dtype),
         )
 
     return tx(cfg.vae_lr), tx(cfg.teacher_lr)

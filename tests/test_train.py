@@ -241,3 +241,24 @@ class TestHBMFallback:
             platform = "cpu"
 
         assert device_hbm_bytes(Dev()) == int(2.5 * 2**30)
+
+
+@pytest.mark.slow
+class TestBf16Momentum:
+    def test_trains_and_momenta_are_bf16(self):
+        cfg = TINY_CFG.replace(bf16_momentum=True, vae_lr=3e-3,
+                               gradient_accumulation_steps=1,
+                               scheduler_t0=1000)
+        state = create_state(jax.random.PRNGKey(0), cfg,
+                             TINY_VCFG, TINY_TCFG)
+        mu_leaves = jax.tree_util.tree_leaves(state.vae_opt[1][0].mu)
+        assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+        step = jax.jit(make_train_step(cfg, TINY_VCFG, TINY_TCFG))
+        batch = _fake_batch(jax.random.PRNGKey(3), cfg, accum=1)
+        first = last = None
+        for i in range(10):
+            state, m = step(state, batch)
+            if first is None:
+                first = float(m["recon_loss"])
+            last = float(m["recon_loss"])
+        assert np.isfinite(last) and last < first, (first, last)
