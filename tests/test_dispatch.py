@@ -96,3 +96,46 @@ class TestUsePallasStrict:
         assert _attn_impl(TrainConfig(use_pallas=True)) == "pallas"
         assert _attn_impl(TrainConfig(use_pallas=False)) == "flash"
         assert _attn_impl(TrainConfig(use_pallas=None)) == "auto"
+
+
+class TestAutoHeadDimGate:
+    """Auto dispatch routes to the Pallas kernel only when head_dim
+    satisfies Mosaic sublane tiling (bf16 %16 / f32 %8) — other dims take
+    the XLA flash path (ops/attention.py)."""
+
+    def _probe(self, monkeypatch, channels, heads, dtype):
+        from lunaris_orion_tpu.ops.pallas import flash_attention as fa
+        key = jax.random.PRNGKey(0)
+        p = attn_mod.attention_init(key, channels, num_heads=heads,
+                                    rel_pos_size=4)
+        x = jax.random.normal(key, (1, 48, 48, channels), dtype)  # N=2304
+        dispatch.set_override("attention", "pallas")
+        hit = {}
+
+        def sentinel(*a, **k):
+            hit["pallas"] = True
+            raise RuntimeError("pallas-sentinel")
+
+        monkeypatch.setattr(fa, "attention_bhnd", sentinel)
+        try:
+            attn_mod.spatial_attention_reference(p, x, num_heads=heads)
+        except RuntimeError as e:
+            assert "pallas-sentinel" in str(e)
+        finally:
+            dispatch.set_override("attention", None)
+        return "pallas" in hit
+
+    def test_tiling_compatible_dim_takes_pallas(self, monkeypatch):
+        # f32, head_dim 8: 8 % 8 == 0 -> pallas
+        assert self._probe(monkeypatch, channels=32, heads=4,
+                           dtype=jnp.float32)
+
+    def test_incompatible_dim_falls_back(self, monkeypatch):
+        # f32, head_dim 12: 12 % 8 != 0 -> XLA flash (sentinel not hit)
+        assert not self._probe(monkeypatch, channels=48, heads=4,
+                               dtype=jnp.float32)
+
+    def test_bf16_needs_16_multiple(self, monkeypatch):
+        # bf16, head_dim 8: 8 % 16 != 0 -> XLA flash
+        assert not self._probe(monkeypatch, channels=32, heads=4,
+                               dtype=jnp.bfloat16)
