@@ -102,8 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fuse_teacher", action=argparse.BooleanOptionalAction,
                    default=d.fuse_teacher,
                    help="run the two per-micro-batch teacher calls as one "
-                        "2B forward (default; --no-fuse_teacher restores "
-                        "reference-faithful sequential calls)")
+                        "2B forward (off by default: measured SLOWER on "
+                        "v5e, 7.32 vs 4.96 s/step, and deviates BN batch "
+                        "stats — see BASELINE.md)")
     g.add_argument("--bf16_momentum", action="store_true",
                    default=d.bf16_momentum,
                    help="bf16 Adam first moments (halves m-state HBM "

@@ -7,8 +7,10 @@ draw z ~ N(0, I) * temperature, decode, teacher-score, keep images whose
 mean quality >= quality_threshold, retry up to max_attempts rounds; export
 PNGs named with scores, a grid image, and JSON metadata.
 
-TPU-native: decode+score is one jitted batch program; rejection retries
-redraw only the rejected slots.
+TPU-native: decode+score is one jitted batch program of static shape; every
+attempt draws `num_samples` fresh latents (so the program never retraces) and
+accepted images fill the remaining slots, with a best-scoring fallback pool
+for slots still empty after max_attempts.
 """
 
 from __future__ import annotations

@@ -254,6 +254,15 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
             raise ValueError(
                 f"use_pallas=True: sequence length {n} (= {h}x{w}) is not a "
                 "multiple of 128; the Mosaic kernel cannot tile it")
+        mod = 16 if q.dtype == jnp.bfloat16 else 8
+        if head_dim % mod != 0:
+            # Same sublane-tiling gate the auto path enforces: without it a
+            # forced run surfaces as an opaque Mosaic compile error.
+            raise ValueError(
+                f"use_pallas=True: head_dim {head_dim} is not a multiple of "
+                f"{mod} (Mosaic sublane tiling for {q.dtype}); use a "
+                "feature_dim whose head_dim satisfies this, or "
+                "use_pallas=None/False")
     if impl == "full":
         out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
                              rng=attn_rng, train=train)

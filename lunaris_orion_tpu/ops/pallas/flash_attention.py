@@ -447,8 +447,10 @@ def _vjp_bwd(dropout_rate, res, doT):
     vm = dict(memory_space=pltpu.VMEM)
     # Fused single-pass backward when the whole-row dq accumulator fits
     # VMEM comfortably (d*N f32 <= 2 MB — always true at the production
-    # d=16 shapes); falls back to the classic two-kernel decomposition.
-    if FUSED_BWD and d * n * 4 <= 2 * 2**21:
+    # d=16 shapes, 1 MB; d=64 at N=16384 is 4 MB and takes the validated
+    # two-kernel decomposition instead); the gate matches the documented
+    # 2 MB bound the kernel's VMEM sizing analysis covers.
+    if FUSED_BWD and d * n * 4 <= 2**21:
         dq32, dk, dv, dbias_bh = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, block_q=bq,
                               dropout_rate=dropout_rate),

@@ -265,25 +265,62 @@ class Trainer:
             bs //= 2
 
     # ------------------------------------------------------------------
+    def _stage_pe(self, local_rows: np.ndarray):
+        """Stage a process-local embedding slice under the batch sharding —
+        the same contract as BatchLoader._stage: under multi-host the loader
+        yields process-local index slices, so the looked-up rows are this
+        process's shard of the global [accum, batch, emb] array and must be
+        assembled with make_array_from_process_local_data (plain device_put
+        fails for a cross-process NamedSharding)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self.batch_shard, local_rows)
+        return jax.device_put(local_rows, self.batch_shard)
+
     def _refresh_embed_table(self) -> None:
         """Recompute the per-sample prompt-embedding table (cached mode —
         the reference's intended dataset-side hook, train_hybrid.py:157-171;
-        see train/step.py docstring for the deviation contract)."""
+        see train/step.py docstring for the deviation contract).
+
+        Multi-host: each global chunk is assembled from per-process row
+        slices (mirroring BatchLoader), the jitted embed step runs on the
+        sharded global batch, and the sharded output is allgathered back so
+        every host holds the FULL table (shuffled batches later index
+        arbitrary rows from any host)."""
         from lunaris_orion_tpu.train.step import make_embed_step
         if not hasattr(self, "_embed_fn"):
-            self._embed_fn = jax.jit(make_embed_step(
-                self.cfg, self.tcfg, attn_impl=_attn_impl(self.cfg)))
+            sh = batch_sharding(self.mesh, leading_accum=False)
+            self._embed_fn = jax.jit(
+                make_embed_step(self.cfg, self.tcfg,
+                                attn_impl=_attn_impl(self.cfg)),
+                in_shardings=(self.shardings, sh))
             self._embed_table = np.zeros(
                 (len(self.dataset), self.tcfg.embedding_dim), np.float32)
-        chunk = max(self.cfg.batch_size, 1)
+            self._embed_shard = sh
+        nproc, pidx = jax.process_count(), jax.process_index()
+        chunk = max(self.cfg.batch_size, nproc)
+        chunk -= chunk % nproc
+        per = chunk // nproc
         t0 = time.time()
         for start in range(0, len(self.dataset), chunk):
             idx = np.arange(start, min(start + chunk, len(self.dataset)))
-            imgs = self.dataset.gather(idx)
-            if len(idx) < chunk:  # pad to the jitted shape
-                pad = np.zeros((chunk - len(idx),) + imgs.shape[1:], np.uint8)
+            lo, hi = pidx * per, (pidx + 1) * per
+            local = idx[lo:hi] if nproc > 1 else idx
+            imgs = self.dataset.gather(local)
+            want = per if nproc > 1 else chunk
+            if len(local) < want:  # pad to the jitted shape
+                pad = np.zeros((want - len(local),) + imgs.shape[1:],
+                               np.uint8)
                 imgs = np.concatenate([imgs, pad])
-            emb = np.asarray(self._embed_fn(self.state, jnp.asarray(imgs)))
+            if nproc > 1:
+                staged = jax.make_array_from_process_local_data(
+                    self._embed_shard, imgs)
+                emb_g = self._embed_fn(self.state, staged)
+                from jax.experimental import multihost_utils
+                emb = np.asarray(
+                    multihost_utils.process_allgather(emb_g, tiled=True))
+            else:
+                emb = np.asarray(self._embed_fn(self.state, jnp.asarray(imgs)))
             self._embed_table[idx] = emb[:len(idx)]
         self.logger.info("Prompt-embedding table refreshed "
                          "(%d samples, %.1fs)",
@@ -326,11 +363,22 @@ class Trainer:
             self._render_cache = (render, prior)
         return self._render_cache
 
-    def _save_eval_samples(self, host_batch: np.ndarray) -> None:
+    def _eval_grid_images(self, device_batch) -> np.ndarray:
+        """First <=4 images of the batch currently being processed — the
+        reference renders the in-flight batch (train_hybrid.py:951-952),
+        not fixed dataset rows. Falls back to dataset rows only when the
+        sharded batch is not fully addressable from this host."""
+        try:
+            return np.asarray(device_batch[0, :4])
+        except Exception:  # multi-host: non-addressable shards
+            return self.dataset.gather(
+                np.arange(min(4, len(self.dataset))))
+
+    def _save_eval_samples(self, batch4: np.ndarray) -> None:
         render, _ = self._render_fn
         x, recon, quality, semantic = render(
             self.state.vae_params, self.state.teacher_params,
-            self.state.teacher_stats, jnp.asarray(host_batch[0, :4]))
+            self.state.teacher_stats, jnp.asarray(batch4))
         grid = comparison_grid(np.asarray(x), np.asarray(recon),
                                quality=np.asarray(quality),
                                semantic=np.asarray(semantic))
@@ -371,8 +419,7 @@ class Trainer:
                 for item in self.train_loader:
                     if cfg.cached_prompt_embeddings:
                         batch, b_idx = item
-                        pe = jax.device_put(
-                            self._embed_table[b_idx], self.batch_shard)
+                        pe = self._stage_pe(self._embed_table[b_idx])
                     else:
                         batch = item
                     if cfg.profile_steps > 0 and epoch == 0 and host_step == 2:
@@ -402,9 +449,7 @@ class Trainer:
                                          cfg.gradient_accumulation_steps)
                         self.logger.info("step %d | %s", host_step, _fmt(m))
                     if self._micro_crossed(cfg.eval_save_freq, host_step):
-                        sample = self.dataset.gather(
-                            np.arange(min(4, len(self.dataset))))
-                        self._save_eval_samples(sample[None])
+                        self._save_eval_samples(self._eval_grid_images(batch))
                     if self._micro_crossed(cfg.sample_every, host_step):
                         self._save_prior_samples()
                     if self._micro_crossed(cfg.save_every, host_step):

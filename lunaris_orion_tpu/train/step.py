@@ -72,7 +72,9 @@ def make_train_step(cfg: TrainConfig,
                     cfg.baseline_momentum)
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
 
-    fuse = getattr(cfg, "fuse_teacher", True)
+    # Fallback False matches the TrainConfig default: an ad-hoc config object
+    # without the field must NOT silently take the measured-slower fused path.
+    fuse = getattr(cfg, "fuse_teacher", False)
     cached = getattr(cfg, "cached_prompt_embeddings", False)
 
     def micro_step(params, carry, batch, pe_cached=None):

@@ -184,3 +184,43 @@ class TestMultiHostSlicing:
                              shuffle=False, sharding=object())
         with pytest.raises(AssertionError, match="not divisible"):
             next(iter(loader._host_batches()))
+
+    def test_cached_embedding_staging_matches_loader_slices(
+            self, data_dir, monkeypatch):
+        """Cached-prompt-embedding staging under multi-host (ADVICE r2
+        medium): the loader yields process-local index slices, so the
+        embedding rows looked up from the host table are this process's
+        shard and Trainer._stage_pe must assemble them with
+        make_array_from_process_local_data — and the union of per-process
+        rows must reconstruct the full global [accum, batch] table lookup."""
+        import jax
+        from lunaris_orion_tpu.train.loop import Trainer
+
+        ds = SpriteDataset(data_dir, image_size=32)
+        table = np.arange(64 * 3, dtype=np.float32).reshape(64, 3)
+        full = BatchLoader(ds, np.arange(64), batch_size=8, accum_steps=2,
+                           shuffle=False, with_indices=True)
+        _, full_idx = next(iter(full._host_batches()))
+        global_pe = table[full_idx]  # [2, 8, 3]
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        staged = {}
+        monkeypatch.setattr(
+            jax, "make_array_from_process_local_data",
+            lambda shard, rows: staged.setdefault("call", (shard, rows)))
+        for pidx in (0, 1):
+            monkeypatch.setattr(jax, "process_index", lambda p=pidx: p)
+            loader = BatchLoader(ds, np.arange(64), batch_size=8,
+                                 accum_steps=2, shuffle=False,
+                                 sharding=object(), with_indices=True)
+            _, b_idx = next(iter(loader._host_batches()))
+            shard_sentinel = object()
+            fake_self = type("T", (), {"batch_shard": shard_sentinel})()
+            staged.clear()
+            Trainer._stage_pe(fake_self, table[b_idx])
+            shard, rows = staged["call"]
+            assert shard is shard_sentinel
+            # Process p's staged rows == its batch-axis slice of the global
+            # lookup — the contract make_array_from_process_local_data needs.
+            np.testing.assert_array_equal(
+                rows, global_pe[:, pidx * 4:(pidx + 1) * 4])

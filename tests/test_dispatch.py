@@ -139,3 +139,35 @@ class TestAutoHeadDimGate:
         # bf16, head_dim 8: 8 % 16 != 0 -> XLA flash
         assert not self._probe(monkeypatch, channels=32, heads=4,
                                dtype=jnp.bfloat16)
+
+
+class TestForcedPallasHeadDimGate:
+    """use_pallas=True must surface the same head_dim sublane gate the auto
+    path enforces as a clear ValueError, not an opaque Mosaic compile error
+    (ADVICE r2). Backend is mocked to TPU so the gate itself is reached."""
+
+    def _forced(self, monkeypatch, channels, heads, dtype):
+        key = jax.random.PRNGKey(0)
+        p = attn_mod.attention_init(key, channels, num_heads=heads,
+                                    rel_pos_size=4)
+        x = jax.random.normal(key, (1, 16, 16, channels), dtype)  # N=256
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        return attn_mod.spatial_attention_reference(
+            p, x, num_heads=heads, impl="pallas")
+
+    def test_f32_head_dim_12_raises(self, monkeypatch):
+        with pytest.raises(ValueError, match="head_dim 12 is not a multiple"):
+            self._forced(monkeypatch, channels=48, heads=4, dtype=jnp.float32)
+
+    def test_bf16_head_dim_8_raises(self, monkeypatch):
+        with pytest.raises(ValueError, match="head_dim 8 is not a multiple"):
+            self._forced(monkeypatch, channels=32, heads=4, dtype=jnp.bfloat16)
+
+    def test_seq_len_gate_still_first(self, monkeypatch):
+        key = jax.random.PRNGKey(0)
+        p = attn_mod.attention_init(key, 48, num_heads=4, rel_pos_size=4)
+        x = jax.random.normal(key, (1, 15, 15, 48))  # N=225, not %128
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="not a.*multiple of 128"):
+            attn_mod.spatial_attention_reference(p, x, num_heads=4,
+                                                 impl="pallas")
