@@ -83,19 +83,48 @@ def conv2d_transpose(params: Params, x: jax.Array, *, stride: int = 2,
     """ConvTranspose2d(k, s, p) matching lunar_generate.py:168-190
     (output = (i-1)*s - 2p + k = 2i for k=4,s=2,p=1).
 
-    Implemented as an input-dilated regular conv (the stored weight is
-    already in the dilated conv's orientation; the torch->jax converter in
-    utils.torch_compat flips). A subpixel phase decomposition (4x k=2 convs
-    + pixel-shuffle interleave) was benchmarked on v5e and measured ~10%
-    SLOWER end-to-end — the interleave relayout costs more than XLA wastes
-    on the dilated zeros — so the dilated form is kept.
+    Default: input-dilated regular conv (the stored weight is already in
+    the dilated conv's orientation; the torch->jax converter in
+    utils.torch_compat flips). A subpixel *phase decomposition* — ONE k=2
+    conv (pad 1) to 4*C_out phase channels + shifted-slice interleave,
+    exact to roundoff — is kept behind LUNARIS_CONVT_IMPL=phase. Measured
+    r3 on v5e: in ISOLATION (fwd + weight-grad only) the phase form is up
+    to 2x faster at the large-spatial stages (tools/bench_vae_parts.py
+    --part convt), but inside the FULL train step it is 4.7 ms SLOWER
+    (26.51 vs 21.79 ms at batch 128, --part fullstep): the input-gradient
+    of the slice/stack interleave lowers to pad/scatter chains and the
+    interleave breaks XLA's fusion with the following GroupNorm. This
+    reproduces the r1 depth_to_space result with a different interleave
+    construction — the dilated lowering is genuinely the fastest
+    whole-graph form XLA has for this op.
     """
+    import os
     w = params["w"].astype(x.dtype)
     b = params["b"].astype(x.dtype)
-    pad = kernel - 1 - padding
-    out = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
-        lhs_dilation=(stride, stride), dimension_numbers=_DIMNUMS)
+    if (kernel != 4 or stride != 2 or padding != 1
+            or os.environ.get("LUNARIS_CONVT_IMPL", "dilated") != "phase"):
+        pad = kernel - 1 - padding
+        out = lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(stride, stride), dimension_numbers=_DIMNUMS)
+        return out + b
+    bs, h, wd, cin = x.shape
+    co = w.shape[3]
+    # W2[a, b, cin, (r, s, co)] = W[2a+r, 2b+s, cin, co]
+    w2 = (w.reshape(2, 2, 2, 2, cin, co)
+           .transpose(0, 2, 4, 1, 3, 5)
+           .reshape(2, 2, cin, 4 * co))
+    ypad = lax.conv_general_dilated(
+        x, w2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DIMNUMS)          # [bs, h+1, wd+1, 4co]
+    z = ypad.reshape(bs, h + 1, wd + 1, 2, 2, co)
+    # out[2j+r, 2l+s, co] = z[j+r, l+s, r, s, co]
+    rows = []
+    for r in (0, 1):
+        cols = [z[:, r:h + r, s:wd + s, r, s, :] for s in (0, 1)]
+        rows.append(jnp.stack(cols, axis=3))     # [bs, h, wd, 2, co]
+    out = jnp.stack(rows, axis=2)                # [bs, h, 2, wd, 2, co]
+    out = out.reshape(bs, 2 * h, 2 * wd, co)
     return out + b
 
 
@@ -130,15 +159,36 @@ def group_norm_init(num_channels: int) -> Params:
 def group_norm(params: Params, x: jax.Array, *, groups: int = 8,
                eps: float = 1e-5) -> jax.Array:
     """GroupNorm(8, C) over NHWC (reference uses nn.GroupNorm(8, C) everywhere
-    in the VAE, lunar_generate.py:37-42,96-119,170-190). Stats in f32."""
+    in the VAE, lunar_generate.py:37-42,96-119,170-190). Stats in f32.
+
+    TPU formulation: group stats are assembled from *per-channel* moments
+    (mean and E[x^2] reduced over H,W — lane-preserving reductions), then a
+    tiny [B,C]->[B,G] group average; var_g = E[x^2]_g - mean_g^2 is the same
+    math as the direct two-pass. This avoids reshaping the channel (lane)
+    axis into (groups, C/groups), which forces a cross-lane relayout of the
+    whole activation on TPU. The normalize collapses to one FMA per element
+    (scale' = inv_std*gamma, bias' = beta - mean*scale').
+    LUNARIS_GN_IMPL=reshape restores the direct form (A/B benchmarks).
+    """
+    import os
     b, h, w, c = x.shape
     orig = x.dtype
-    xg = x.astype(jnp.float32).reshape(b, h, w, groups, c // groups)
-    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
-    xn = (xg - mean) * lax.rsqrt(var + eps)
-    xn = xn.reshape(b, h, w, c)
-    out = xn * params["scale"] + params["bias"]
+    x32 = x.astype(jnp.float32)
+    if os.environ.get("LUNARIS_GN_IMPL") == "reshape":
+        xg = x32.reshape(b, h, w, groups, c // groups)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+        xn = ((xg - mean) * lax.rsqrt(var + eps)).reshape(b, h, w, c)
+        return (xn * params["scale"] + params["bias"]).astype(orig)
+    cg = c // groups
+    s1 = jnp.mean(x32, axis=(1, 2))                  # [B, C]
+    s2 = jnp.mean(jnp.square(x32), axis=(1, 2))      # [B, C]
+    gmean = jnp.mean(s1.reshape(b, groups, cg), axis=2)   # [B, G]
+    gvar = jnp.mean(s2.reshape(b, groups, cg), axis=2) - jnp.square(gmean)
+    inv = lax.rsqrt(gvar + eps)
+    scale = jnp.repeat(inv, cg, axis=1) * params["scale"]         # [B, C]
+    bias = params["bias"] - jnp.repeat(gmean * inv, cg, axis=1) * params["scale"]
+    out = x32 * scale[:, None, None, :] + bias[:, None, None, :]
     return out.astype(orig)
 
 
@@ -152,16 +202,15 @@ def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
     from lunaris_orion_tpu.ops import dispatch
     from lunaris_orion_tpu.ops.activations import mish
 
-    # The Pallas kernel holds one whole image per grid cell (GroupNorm stats
-    # span H*W) reshaped to [H*W, C]; with C below the 128-lane width Mosaic
-    # pads temporaries to full lanes, so the scoped-VMEM working set scales
-    # as H*W * max(C, 128) * 4 bytes * (several temps). Probed on v5e:
-    # 64x64 stages compile at any C, 128x128 stages do not — shapes past
-    # ~4 MB padded working set take the XLA composition.
-    hw = int(x.shape[1]) * int(x.shape[2])
-    padded_bytes = hw * max(int(x.shape[3]), 128) * 4
+    # r3: the tiled K1 kernel (ops/pallas/gn_mish.py) bounds per-tile VMEM
+    # regardless of image size, so it compiles at ALL reference stages
+    # including 128px (the r1/r2 whole-image kernel could not). The gate is
+    # now only the lane-packing feasibility condition.
+    from lunaris_orion_tpu.ops.pallas.gn_mish import supported_shape
     if (dispatch.choose("gn_mish") == "pallas"
-            and padded_bytes <= 4 * 2**20):
+            and supported_shape(int(x.shape[1]), int(x.shape[2]),
+                                int(x.shape[3]))
+            and int(x.shape[3]) % groups == 0):
         from lunaris_orion_tpu.ops.pallas.gn_mish import group_norm_mish_pallas
         import functools
 

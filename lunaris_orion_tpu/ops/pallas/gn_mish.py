@@ -1,17 +1,30 @@
-"""K1 — fused GroupNorm(+Mish) Pallas kernel.
+"""K1 — fused GroupNorm(+Mish) Pallas kernel, tiled over H*W (r3 redesign).
 
-One HBM read + one write per activation for the VAE's ubiquitous
-Conv -> GroupNorm(8) -> Mish pattern (lunar_generate.py:35-44,94-120,168-190)
-— XLA splits the group reduction and the normalize/activation into separate
-passes over the (large) activation.
+The r1/r2 kernel held one whole image per grid cell (GroupNorm statistics
+span H*W), so its scoped-VMEM working set scaled with the image and it
+could not compile at the flagship 128px stages (VERDICT r2 "What's weak"
+item 3). This version tiles:
 
-Group statistics are computed on the MXU: sums = x @ onehot[C,G] then
-mean/var broadcast back with onehot^T — keeping the lane axis on C
-throughout (no sub-128 lane reshapes).
+  * the activation is viewed as ``[B, M, 128]`` lanes with
+    ``M = H*W*C/128`` — full 128-lane utilization at EVERY stage (C in
+    {32..512}; sub-128-channel stages pack 128/C pixels per row instead of
+    padding lanes);
+  * pass 1 (stats kernel): grid ``(B, M/Tn)`` accumulates per-lane-period
+    sums s1 = sum(x), s2 = sum(x^2) into a revisited ``[1, P, 128]`` output
+    block (P = max(C/128, 1) rows cover one full channel period);
+  * tiny XLA glue folds the lane sums to per-channel, then per-group stats
+    (var = E[x^2]-E[x]^2, exact vs the two-pass form in real arithmetic),
+    and prebuilds lane-aligned affine arrays A = gamma*inv_std,
+    B' = beta - mean*A;
+  * pass 2 (apply kernel): ``y = mish(x*A + B')`` per ``[Tn, 128]`` tile.
+
+Per-tile VMEM is a few hundred KB regardless of image size, so the kernel
+compiles at (B,128,128,64) and every other stage of the reference recipe
+(lunar_generate.py:35-44,94-120,168-190).
 
 Selectable from ops.layers.group_norm_mish via ops.dispatch ("gn_mish");
-the XLA composition ships by default per the in-graph microbenchmark
-(BASELINE.md / tools/bench_dispatch.py).
+the dispatch default encodes the in-graph measurement in BASELINE.md
+(tools/bench_dispatch.py).
 """
 
 from __future__ import annotations
@@ -23,53 +36,127 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+LANES = 128
+MAX_TILE_ROWS = 512
 
-def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
-            with_mish: bool):
-    hw = x_ref.shape[1] * x_ref.shape[2]
-    c = x_ref.shape[3]
-    cg = c // groups
-    x = x_ref[0].reshape(hw, c).astype(jnp.float32)
 
-    cid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0)
-    gid = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
-    onehot = (cid // cg == gid).astype(jnp.float32)  # [C, G]
+def supported_shape(h: int, w: int, c: int) -> bool:
+    """Can the tiled kernel handle [*, h, w, c]?"""
+    if c % LANES != 0 and LANES % c != 0:
+        return False
+    if (h * w * c) % LANES != 0:
+        return False
+    m = (h * w * c) // LANES
+    p = max(c // LANES, 1)
+    tn = min(m, MAX_TILE_ROWS)
+    return m % tn == 0 and tn % p == 0 and tn % 8 == 0
 
-    n = hw * cg
-    s1 = jnp.dot(jnp.sum(x, axis=0, keepdims=True), onehot,
-                 preferred_element_type=jnp.float32)          # [1, G]
-    s2 = jnp.dot(jnp.sum(x * x, axis=0, keepdims=True), onehot,
-                 preferred_element_type=jnp.float32)
-    mean_g = s1 / n
-    var_g = s2 / n - mean_g * mean_g
-    mean_c = jnp.dot(mean_g, onehot.T, preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(jax.lax.rsqrt(var_g + eps), onehot.T,
-                     preferred_element_type=jnp.float32)       # [1, C]
 
-    y = (x - mean_c) * rstd_c * scale_ref[0:1, :] + bias_ref[0:1, :]
+def _stats_kernel(x_ref, s1_ref, s2_ref, *, p: int):
+    t = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)                    # [Tn, 128]
+    tn = x.shape[0]
+    part1 = jnp.sum(x.reshape(tn // p, p, LANES), axis=0)
+    part2 = jnp.sum(jnp.square(x).reshape(tn // p, p, LANES), axis=0)
+
+    @pl.when(t == 0)
+    def _():
+        s1_ref[0] = part1
+        s2_ref[0] = part2
+
+    @pl.when(t != 0)
+    def _():
+        s1_ref[0] += part1
+        s2_ref[0] += part2
+
+
+def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, p: int, with_mish: bool):
+    x = x_ref[0].astype(jnp.float32)                    # [Tn, 128]
+    tn = x.shape[0]
+    a = a_ref[0][None]                                  # [1, P, 128]
+    b = b_ref[0][None]
+    y = x.reshape(tn // p, p, LANES) * a + b
+    y = y.reshape(tn, LANES)
     if with_mish:
         y = y * jnp.tanh(jax.nn.softplus(y))
-    o_ref[0] = y.reshape(x_ref.shape[1], x_ref.shape[2], c).astype(o_ref.dtype)
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
                            *, groups: int = 8, eps: float = 1e-5,
                            with_mish: bool = True) -> jax.Array:
-    """x: [B, H, W, C] -> GroupNorm(groups)(x)*scale+bias, optionally mish'd."""
+    """x: [B, H, W, C] -> mish(GroupNorm(groups)(x)*scale+bias) (mish opt.)."""
     b, h, w, c = x.shape
-    scale2 = scale.astype(jnp.float32).reshape(1, c)
-    bias2 = bias.astype(jnp.float32).reshape(1, c)
-    return pl.pallas_call(
-        functools.partial(_kernel, groups=groups, eps=eps, with_mish=with_mish),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+    assert supported_shape(h, w, c), (h, w, c)
+    m = (h * w * c) // LANES
+    p = max(c // LANES, 1)
+    tn = min(m, MAX_TILE_ROWS)
+    grid = (b, m // tn)
+    interp = jax.default_backend() != "tpu"
+    xr = x.reshape(b, m, LANES)
+
+    s1, s2 = pl.pallas_call(
+        functools.partial(_stats_kernel, p=p),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tn, LANES), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, p, LANES), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, LANES), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, p, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, p, LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interp,
+    )(xr)
+
+    # --- tiny XLA glue: lane sums -> channel -> group stats -> affine ------
+    if c >= LANES:
+        s1c = s1.reshape(b, c)                      # row p = channels p*128..
+        s2c = s2.reshape(b, c)
+    else:
+        k = LANES // c                              # pixels per lane row
+        s1c = jnp.sum(s1.reshape(b, k, c), axis=1)
+        s2c = jnp.sum(s2.reshape(b, k, c), axis=1)
+    cg = c // groups
+    n_set = h * w * cg
+    gs1 = jnp.sum(s1c.reshape(b, groups, cg), axis=2)
+    gs2 = jnp.sum(s2c.reshape(b, groups, cg), axis=2)
+    mean_g = gs1 / n_set
+    var_g = gs2 / n_set - jnp.square(mean_g)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    alpha_c = jnp.repeat(inv_g, cg, axis=1) * scale.astype(jnp.float32)
+    beta_c = (bias.astype(jnp.float32)
+              - jnp.repeat(mean_g * inv_g, cg, axis=1)
+              * scale.astype(jnp.float32))
+    if c >= LANES:
+        a_lane = alpha_c.reshape(b, p, LANES)
+        b_lane = beta_c.reshape(b, p, LANES)
+    else:
+        a_lane = jnp.tile(alpha_c, (1, LANES // c)).reshape(b, 1, LANES)
+        b_lane = jnp.tile(beta_c, (1, LANES // c)).reshape(b, 1, LANES)
+
+    y = pl.pallas_call(
+        functools.partial(_apply_kernel, p=p, with_mish=with_mish),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tn, LANES), lambda i, t: (i, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, LANES), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, LANES), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, tn, LANES), lambda i, t: (i, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=jax.default_backend() != "tpu",
-    )(x, scale2, bias2)
+        out_shape=jax.ShapeDtypeStruct((b, m, LANES), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interp,
+    )(xr, a_lane, b_lane)
+    return y.reshape(b, h, w, c)

@@ -206,3 +206,65 @@ class TestSelfAttention2d:
         out = self_attention_2d(p, x)
         assert out.shape == x.shape
         assert not np.allclose(_np(out), _np(x))
+
+
+class TestImplVariants:
+    """r3 measured A/B variants must stay numerically exact to their
+    defaults (BASELINE.md records which ships and why)."""
+
+    def test_moments_gn_matches_reshape_gn(self, rng, monkeypatch):
+        for (b, h, w, c, g) in [(2, 16, 16, 64, 8), (3, 8, 8, 32, 8)]:
+            x = jax.random.normal(rng, (b, h, w, c)) * 3.0 + 1.7
+            p = {"scale": jax.random.normal(rng, (c,)) * 0.5 + 1.0,
+                 "bias": jax.random.normal(rng, (c,)) * 0.2}
+            new = layers.group_norm(p, x, groups=g)
+            monkeypatch.setenv("LUNARIS_GN_IMPL", "reshape")
+            old = layers.group_norm(p, x, groups=g)
+            monkeypatch.delenv("LUNARIS_GN_IMPL")
+            np.testing.assert_allclose(_np(new), _np(old), atol=2e-5)
+            gn = jax.grad(lambda xx: jnp.sum(
+                jnp.square(layers.group_norm(p, xx, groups=g))))(x)
+            monkeypatch.setenv("LUNARIS_GN_IMPL", "reshape")
+            go = jax.grad(lambda xx: jnp.sum(
+                jnp.square(layers.group_norm(p, xx, groups=g))))(x)
+            monkeypatch.delenv("LUNARIS_GN_IMPL")
+            np.testing.assert_allclose(_np(gn), _np(go), rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_phase_convt_matches_dilated(self, rng, monkeypatch):
+        for (b, h, cin, co) in [(2, 8, 32, 16), (1, 5, 12, 7)]:
+            x = jax.random.normal(rng, (b, h, h, cin))
+            p = layers.conv2d_transpose_init(rng, cin, co, 4)
+            old = layers.conv2d_transpose(p, x)
+            monkeypatch.setenv("LUNARIS_CONVT_IMPL", "phase")
+            new = layers.conv2d_transpose(p, x)
+            gw_new = jax.grad(lambda w: jnp.sum(jnp.square(
+                layers.conv2d_transpose({"w": w, "b": p["b"]}, x))))(p["w"])
+            gx_new = jax.grad(lambda xx: jnp.sum(jnp.square(
+                layers.conv2d_transpose(p, xx))))(x)
+            monkeypatch.delenv("LUNARIS_CONVT_IMPL")
+            gw_old = jax.grad(lambda w: jnp.sum(jnp.square(
+                layers.conv2d_transpose({"w": w, "b": p["b"]}, x))))(p["w"])
+            gx_old = jax.grad(lambda xx: jnp.sum(jnp.square(
+                layers.conv2d_transpose(p, xx))))(x)
+            np.testing.assert_allclose(_np(new), _np(old), atol=1e-5)
+            np.testing.assert_allclose(_np(gw_new), _np(gw_old), rtol=1e-4,
+                                       atol=1e-4)
+            np.testing.assert_allclose(_np(gx_new), _np(gx_old), rtol=1e-4,
+                                       atol=1e-4)
+
+    def test_mish_exp1_matches_ref(self, monkeypatch):
+        from lunaris_orion_tpu.ops.activations import mish
+        x = jnp.asarray(np.concatenate(
+            [np.linspace(-50, 50, 2001, dtype=np.float32),
+             np.array([-1e4, -88, 19.999, 20, 20.001, 88, 1e4],
+                      np.float32)]))
+        ref = mish(x)
+        monkeypatch.setenv("LUNARIS_MISH_IMPL", "exp1")
+        new = mish(x)
+        g_new = jax.grad(lambda v: jnp.sum(mish(v)))(x)
+        monkeypatch.delenv("LUNARIS_MISH_IMPL")
+        g_ref = jax.grad(lambda v: jnp.sum(mish(v)))(x)
+        np.testing.assert_allclose(_np(new), _np(ref), atol=5e-6)
+        np.testing.assert_allclose(_np(g_new), _np(g_ref), atol=1e-5)
+        assert np.isfinite(_np(new)).all() and np.isfinite(_np(g_new)).all()

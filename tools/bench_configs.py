@@ -79,19 +79,62 @@ def emit(name, **kw):
     print(json.dumps({"config": name, **kw}), flush=True)
 
 
+def analytic_hybrid_macs(image, *, latent=256, feature=128, experts=4,
+                         layers=3):
+    """Dominant-term MAC count for ONE hybrid micro-batch-of-1 step at the
+    reference defaults: VAE fwd+bwd (3x fwd) + teacher fwd on inputs
+    (1x fwd, no grad) + teacher fwd+bwd on recon (3x fwd). Used only to
+    form the 128px/32px scaling ratio for the CPU config's derived number —
+    the attention N^2 terms dominate it (N = image^2 spatial tokens)."""
+    # VAE (see bench.analytic_vae_step_flops; MACs, fwd only):
+    chans = [64, 128, 256, 512]
+    vae = 0
+    cin, hw = 3, image
+    for c in chans:
+        hw //= 2
+        vae += hw * hw * c * cin * 9 + 2 * hw * hw * c * c * 9
+        cin = c
+    vae += 3 * (512 * (image // 16) ** 2) * latent
+    cin, hw = 512, image // 16
+    for c in [256, 128, 64, 32]:
+        hw *= 2
+        vae += hw * hw * c * cin * 4
+        cin = c
+    vae += image * image * 3 * 32 * 9
+    # Teacher (fwd): per expert-block: 2 conv3x3 (9NF^2) + qkv/proj 1x1
+    # (4NF^2) + attention scores+apply (2 N^2 F); extractor ~small.
+    n = image * image
+    per_block = 13 * n * feature * feature + 2 * n * n * feature
+    teacher = experts * layers * per_block
+    return 3 * vae + 1 * teacher + 3 * teacher
+
+
 def config1_cpu(image):
-    """CPU config: batch 8, grad-accum 8, latent 256, fp32."""
+    """CPU config (reference README.md:156-171: batch 8, grad-accum 8,
+    latent 256, fp32, 128px). The full 128px recipe is impractical on this
+    1-core host (r2: compile + 2 steps exceeded a 55-minute budget — the
+    reference targets multi-core desktops), so the recorded number is a
+    DERIVED estimate, like the other relay-limited measurements: the 32px
+    micro-step that DOES run is measured, and the 128px recipe rate is
+    scaled by the analytic FLOP ratio (attention-N^2-dominated)."""
     from lunaris_orion_tpu.config import TrainConfig
     jax.config.update("jax_platforms", "cpu")
-    cfg = TrainConfig(batch_size=8, gradient_accumulation_steps=8,
-                      latent_dim=256, image_size=image,
+    cfg = TrainConfig(batch_size=8, gradient_accumulation_steps=1,
+                      latent_dim=256, image_size=32,
                       mixed_precision=False)
-    accum = 1 if image >= 128 else cfg.gradient_accumulation_steps
-    cfg = cfg.replace(gradient_accumulation_steps=accum)
-    dt, sprites = _slope_hybrid(cfg, cfg.vae_config(), cfg.teacher_config(),
-                                k_big=2, reps=1)
-    emit("1_cpu_hybrid", image=image, step_ms=round(dt * 1e3, 1),
-         sprites_per_sec=round(sprites, 2), device="cpu")
+    dt32, _ = _slope_hybrid(cfg, cfg.vae_config(), cfg.teacher_config(),
+                            k_big=2, reps=1)
+    ratio = analytic_hybrid_macs(128) / analytic_hybrid_macs(32)
+    # recipe step = 8 micro-steps (grad accum) at 128px
+    derived_step_s = dt32 * ratio * 8
+    sprites = 64 / derived_step_s  # global batch 8 x accum 8
+    emit("1_cpu_hybrid", measured_micro32_ms=round(dt32 * 1e3, 1),
+         flop_ratio_128_over_32=round(ratio, 1),
+         derived_recipe_step_s=round(derived_step_s, 1),
+         derived_sprites_per_sec=round(sprites, 4),
+         note="derived: 32px micro-step x analytic FLOP ratio x accum 8; "
+              "128px recipe impractical on this 1-core host",
+         device="cpu")
     jax.config.update("jax_platforms", None)
 
 
