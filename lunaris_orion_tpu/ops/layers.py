@@ -103,6 +103,15 @@ def conv2d_transpose(params: Params, x: jax.Array, *, stride: int = 2,
     b = params["b"].astype(x.dtype)
     if (kernel != 4 or stride != 2 or padding != 1
             or os.environ.get("LUNARIS_CONVT_IMPL", "dilated") != "phase"):
+        if (kernel == 4 and stride == 2 and padding == 1
+                and os.environ.get("LUNARIS_CONVT_VJP", "explicit")
+                == "explicit"):
+            # Custom VJP with hand-derived gradient convs: XLA's transpose
+            # rule for the dilated form materialized spatial REVERSES of
+            # whole activations (0.63 ms/step at batch 128 in the r3
+            # trace, tools/profile_step.py); the explicit forms reverse
+            # only the 4x4 weights / the [co,4,4,ci] weight-grad.
+            return _convt421_core(x, w) + b
         pad = kernel - 1 - padding
         out = lax.conv_general_dilated(
             x, w, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
@@ -126,6 +135,39 @@ def conv2d_transpose(params: Params, x: jax.Array, *, stride: int = 2,
     out = jnp.stack(rows, axis=2)                # [bs, h, 2, wd, 2, co]
     out = out.reshape(bs, 2 * h, 2 * wd, co)
     return out + b
+
+
+@jax.custom_vjp
+def _convt421_core(x, w):
+    """ConvTranspose(4,2,1) as the input-dilated conv, with explicit
+    gradient convolutions (verified exact vs autodiff):
+      dx = conv(dy, reverse(w).swapIO, stride 2, pad 1)
+      dW = reverse_spatial(conv(dy, x; B contracted, rhs_dilation 2))."""
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=_DIMNUMS)
+
+
+def _convt421_fwd(x, w):
+    return _convt421_core(x, w), (x, w)
+
+
+def _convt421_bwd(res, dy):
+    x, w = res
+    w2 = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = lax.conv_general_dilated(
+        dy, w2, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DIMNUMS)
+    c = lax.conv_general_dilated(
+        dy, x, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        rhs_dilation=(2, 2),
+        dimension_numbers=("CHWN", "IHWO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    dw = jnp.transpose(c[:, ::-1, ::-1, :], (1, 2, 3, 0)).astype(w.dtype)
+    return dx, dw
+
+
+_convt421_core.defvjp(_convt421_fwd, _convt421_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -201,6 +243,17 @@ def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
     backward."""
     from lunaris_orion_tpu.ops import dispatch
     from lunaris_orion_tpu.ops.activations import mish
+
+    import os
+    if os.environ.get("LUNARIS_GN_BARRIER") == "1":
+        # Experiment knob: fence gn+mish out of XLA's conv fusions. The r3
+        # trace shows the GN stat/apply work fused INTO the convolution
+        # fusions (convert_reduce_fusion.*) while dragging conv throughput
+        # to ~60 TF/s at the wide stages — this isolates whether the convs
+        # recover more than the extra materialization passes cost.
+        x = lax.optimization_barrier(x)
+        out = mish(group_norm(params, x, groups=groups, eps=eps))
+        return lax.optimization_barrier(out)
 
     # r3: the tiled K1 kernel (ops/pallas/gn_mish.py) bounds per-tile VMEM
     # regardless of image size, so it compiles at ALL reference stages

@@ -79,6 +79,66 @@ BWD_BLOCK_K = 1024
 import os as _os
 FUSED_BWD = _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "0") == "1"
 
+# r3 item-8 experiment knobs (BASELINE.md records the measurements):
+#  LUNARIS_ATTN_EXP2=1   — carry scores in the log2 domain: q and bias are
+#    pre-scaled by log2(e) outside the custom_vjp, kernels use exp2/log2,
+#    and the backward's d(exp2)/dx = ln2*exp2 factor is applied once to the
+#    small dq/dk/dbias accumulators instead of per score element. Saves the
+#    hidden x*log2e multiply inside every exp lowering.
+#  LUNARIS_ATTN_DROPOUT=prng — in-kernel pltpu.prng_random_bits dropout:
+#    the PRNG is reseeded per fixed 512x512 score subtile from ABSOLUTE
+#    block coordinates (row_seed, k_abs/512, q_abs/512), so forward and
+#    backward kernels with different tilings regenerate bit-identical
+#    masks (the same property the 5-op hash provides, validated by the
+#    block-config bit-identity check in tools/tpu_validate_attention.py).
+LN2 = 0.6931471805599453
+LOG2E = 1.4426950408889634
+_PRNG_GRAIN = 512
+
+
+def _exp2_mode() -> bool:
+    return _os.environ.get("LUNARIS_ATTN_EXP2", "0") == "1"
+
+
+def _prng_dropout(n: int, *blocks: int) -> bool:
+    if _os.environ.get("LUNARIS_ATTN_DROPOUT", "hash") != "prng":
+        return False
+    if _interpret():
+        return False  # pltpu.prng_* needs real Mosaic
+    return all(b % _PRNG_GRAIN == 0 for b in blocks)
+
+
+def _kexp(x):
+    return jnp.exp2(x) if _exp2_mode() else jnp.exp(x)
+
+
+def _klog(x):
+    return jnp.log2(x) if _exp2_mode() else jnp.log(x)
+
+
+def _prng_keep(row_seed, k0, q0, shape, keep_prob: float):
+    """Hardware-PRNG keep-mask, reseeded per 512x512 subtile from absolute
+    coordinates — block-decomposition independent like _keep_mask."""
+    bk, bq = shape
+    threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
+    rows = []
+    for gi in range(bk // _PRNG_GRAIN):
+        cols = []
+        for gj in range(bq // _PRNG_GRAIN):
+            # Mosaic's prng_set_seed takes at most 2 values: fold the
+            # absolute (k, q) subtile coordinates into the second word.
+            pltpu.prng_seed(
+                row_seed,
+                (k0 // _PRNG_GRAIN + gi) * jnp.int32(_C2)
+                + (q0 // _PRNG_GRAIN + gj) * jnp.int32(_C3))
+            cols.append(pltpu.bitcast(
+                pltpu.prng_random_bits((_PRNG_GRAIN, _PRNG_GRAIN)),
+                jnp.uint32))
+        rows.append(cols[0] if len(cols) == 1
+                    else jnp.concatenate(cols, axis=1))
+    bits = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    return bits < threshold
+
 
 def supported_seq_len(n: int) -> bool:
     """Mosaic requires lane-dim blocks to be multiples of 128 (or the full
@@ -157,6 +217,17 @@ def _hash_mask(row_seed, k0, q0, shape, keep_prob: float):
     return keep.astype(jnp.float32) * (1.0 / keep_prob)
 
 
+def _mask_for(row_seed, k0, q0, shape, keep_prob: float):
+    """Trace-time dispatch between the 5-op hash mask (default, also runs
+    outside Pallas for dense test references) and the hardware-PRNG mask
+    (LUNARIS_ATTN_DROPOUT=prng; requires 512-aligned tiles)."""
+    if (_os.environ.get("LUNARIS_ATTN_DROPOUT", "hash") == "prng"
+            and not _interpret()
+            and all(s % _PRNG_GRAIN == 0 for s in shape)):
+        return _prng_keep(row_seed, k0, q0, shape, keep_prob)
+    return _keep_mask(row_seed, k0, q0, shape, keep_prob)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel: grid (BH, n_q_blocks)
 # ---------------------------------------------------------------------------
@@ -184,11 +255,11 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
         b_blk = bias_ref[0, 0, pl.ds(j * block_k, block_k)]       # [bk]
         sT = sT + b_blk[:, None]
         m_new = jnp.maximum(m, jnp.max(sT, axis=0, keepdims=True))  # [1, bq]
-        corr = jnp.exp(m - m_new)
-        pT = jnp.exp(sT - m_new)                                  # [bk, bq]
+        corr = _kexp(m - m_new)
+        pT = _kexp(sT - m_new)                                  # [bk, bq]
         l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
         if dropout_rate > 0.0:
-            keep = _keep_mask(row_seed, j * block_k, q_id * bq,
+            keep = _mask_for(row_seed, j * block_k, q_id * bq,
                               pT.shape, 1.0 - dropout_rate)
             pT_used = jnp.where(keep, pT * inv_keep, 0.0)
         else:
@@ -204,7 +275,7 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l)
+    lse_ref[0] = m + _klog(l)
 
 
 def _lane_spec(index_map):
@@ -278,11 +349,11 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
         sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         sT = sT + bias_ref[0, 0, pl.ds(j * block_k, block_k)][:, None]
-        pT = jnp.exp(sT - lse)                                     # [bk, bq]
+        pT = _kexp(sT - lse)                                     # [bk, bq]
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            keep = _keep_mask(row_seed, j * block_k, q_id * bq,
+            keep = _mask_for(row_seed, j * block_k, q_id * bq,
                               dpT.shape, 1.0 - dropout_rate)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
         dsT = (pT * (dpT - delta)).astype(qT.dtype)                # [bk, bq]
@@ -291,7 +362,9 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
             preferred_element_type=jnp.float32)                    # [d, bq]
 
     dq = jax.lax.fori_loop(0, nk, body, jnp.zeros((d, bq), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    if _exp2_mode():
+        dq = dq * LN2   # d exp2(x)/dx = ln2*exp2(x), applied to the small
+    dq_ref[0] = dq.astype(dq_ref.dtype)   # [d, bq] accumulator, not per tile
 
 
 def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
@@ -317,11 +390,11 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         sT = sT + bias_blk
-        pT = jnp.exp(sT - lse)                                      # [bk, bq]
+        pT = _kexp(sT - lse)                                      # [bk, bq]
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            keep = _keep_mask(row_seed, k_id * bk, i * block_q,
+            keep = _mask_for(row_seed, k_id * bk, i * block_q,
                               pT.shape, 1.0 - dropout_rate)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
             pT_v = jnp.where(keep, pT * inv_keep, 0.0)
@@ -341,6 +414,9 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     dv0 = jnp.zeros((d, bk), jnp.float32)
     db0 = jnp.zeros((1, bk), jnp.float32)
     dk, dv, dbias = jax.lax.fori_loop(0, nq, body, (dk0, dv0, db0))
+    if _exp2_mode():
+        dk = dk * LN2        # ds2 = ln2 * p (dp - delta); folded here once
+        dbias = dbias * LN2  # (dv uses the probabilities, not ds — no ln2)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
     dbias_ref[0] = dbias
@@ -381,11 +457,11 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         sT = jax.lax.dot_general(kT, qT, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         sT = sT + bias_blk
-        pT = jnp.exp(sT - lse)                                      # [bk, bq]
+        pT = _kexp(sT - lse)                                      # [bk, bq]
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            keep = _keep_mask(row_seed, k_id * bk, i * block_q,
+            keep = _mask_for(row_seed, k_id * bk, i * block_q,
                               pT.shape, 1.0 - dropout_rate)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
             pT_v = jnp.where(keep, pT * inv_keep, 0.0)
@@ -409,6 +485,14 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     dv0 = jnp.zeros((d, bk), jnp.float32)
     db0 = jnp.zeros((1, bk), jnp.float32)
     dk, dv, dbias = jax.lax.fori_loop(0, nq, body, (dk0, dv0, db0))
+    if _exp2_mode():
+        dk = dk * LN2
+        dbias = dbias * LN2
+
+        # The whole-row dq accumulator is scaled once, at the last kv block.
+        @pl.when(k_id == (q_ref.shape[2] // bk) - 1)
+        def _():
+            dq_ref[0] = dq_ref[0] * LN2
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
     dbias_ref[0] = dbias
@@ -555,7 +639,13 @@ def flash_attention_tpu(qT: jax.Array, kT: jax.Array, vT: jax.Array,
         seed = jnp.asarray(seed, jnp.int32).reshape(())
     # Scale q once here (outside the custom_vjp): kernels then skip the
     # per-tile [bk, bq] multiply, and d^-0.5 re-enters dq via this op's AD.
-    scale = jnp.asarray(qT.shape[1] ** -0.5, qT.dtype)
+    # exp2 mode folds log2(e) into q and bias here too — scores then live in
+    # the log2 domain end-to-end and the kernels use the cheaper exp2/log2.
+    s = qT.shape[1] ** -0.5
+    if _exp2_mode():
+        s = s * LOG2E
+        bias = bias * jnp.asarray(LOG2E, bias.dtype)
+    scale = jnp.asarray(s, qT.dtype)
     return _flash(qT * scale, kT, vT, bias, seed, float(dropout_rate))
 
 

@@ -200,3 +200,39 @@ class TestSeqLenDispatch:
         out = attn_mod.spatial_attention_reference(p, x, num_heads=heads)
         assert called.get("flash"), "expected XLA flash fallback"
         assert out.shape == x.shape
+
+
+class TestExp2Mode:
+    """LUNARIS_ATTN_EXP2=1 (r3 experiment): scores in the log2 domain must
+    be an identity transform — outputs and all four gradients match the
+    default domain to roundoff. Measured neutral on v5e (BASELINE.md r3);
+    pinned here so the knob stays correct wherever it is re-measured."""
+
+    def test_forward_and_grads_match_default(self, rng, monkeypatch):
+        q, k, v, bias = _make(rng, n=256, d=16)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(fa.attention_bhnd(q, k, v, bias) ** 2)
+
+        ref_o = fa.attention_bhnd(q, k, v, bias)
+        ref_g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        monkeypatch.setenv("LUNARIS_ATTN_EXP2", "1")
+        e2_o = fa.attention_bhnd(q, k, v, bias)
+        e2_g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(e2_o), np.asarray(ref_o),
+                                   rtol=1e-4, atol=1e-4)
+        for a, b, name in zip(e2_g, ref_g, "q k v bias".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3,
+                                       err_msg=f"d{name}")
+
+    def test_dropout_masks_identical_across_domains(self, rng, monkeypatch):
+        """The hash mask must not depend on the score domain."""
+        q, k, v, bias = _make(rng, n=256, d=16)
+        o1 = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3,
+                               seed=jnp.int32(11))
+        monkeypatch.setenv("LUNARIS_ATTN_EXP2", "1")
+        o2 = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3,
+                               seed=jnp.int32(11))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-4)

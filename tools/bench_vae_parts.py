@@ -271,8 +271,9 @@ def impl_sweep(batch, latent, iters, configs):
 
 
 SWEEP_CONFIGS = [
-    ("anchor_gnmoments_mishref", {}),
-    ("mish_bf16", {"LUNARIS_MISH_IMPL": "bf16"}),
+    ("anchor_convt_vjp", {}),
+    ("convt_vjp_off", {"LUNARIS_CONVT_VJP": "off"}),
+    ("gn_barrier", {"LUNARIS_GN_BARRIER": "1"}),
 ]
 
 

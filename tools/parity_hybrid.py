@@ -248,7 +248,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX side onto CPU (frees the TPU; env "
+                         "vars alone are overridden by the axon plugin)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     cfg, vcfg, tcfg = make_cfgs()
     data = make_data(args.steps, args.batch, vcfg.image_size)
