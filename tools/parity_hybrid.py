@@ -273,12 +273,12 @@ def main():
                                   / np.maximum(np.abs(t), 1e-3)))
         results[mode]["max_rel_divergence"] = div
         print(f"{mode}: back-half max rel divergence " +
-              " ".join(f"{k}={v:.3%}" for k, v in div.items()))
+              " ".join(f"{k}={v:.3%}" for k, v in div.items()), flush=True)
+        docs = REPO / "docs"
+        docs.mkdir(exist_ok=True)
+        with open(docs / "parity_hybrid.json", "w") as f:
+            json.dump(results, f)   # incremental: survive timeouts
 
-    docs = REPO / "docs"
-    docs.mkdir(exist_ok=True)
-    with open(docs / "parity_hybrid.json", "w") as f:
-        json.dump(results, f)
     plot(results, docs / "parity_hybrid.png")
 
 
