@@ -268,3 +268,34 @@ class TestImplVariants:
         np.testing.assert_allclose(_np(new), _np(ref), atol=5e-6)
         np.testing.assert_allclose(_np(g_new), _np(g_ref), atol=1e-5)
         assert np.isfinite(_np(new)).all() and np.isfinite(_np(g_new)).all()
+
+    def test_mish_rational_exhaustive_bf16(self, monkeypatch):
+        """The rational mish (LUNARIS_MISH_IMPL=rat) over EVERY finite bf16
+        value: >=99.3% bit-identical to the reference f32-internal mish,
+        with all mismatches confined to x < -6 where |mish(x)| < 2.2e-3
+        and the deviation bounded by 7e-5 (tools/fit_mish.py report)."""
+        from lunaris_orion_tpu.ops.activations import mish
+        bits = (np.arange(1 << 16, dtype=np.uint32) << 16).view(np.float32)
+        xb = jnp.asarray(bits[np.isfinite(bits)]).astype(jnp.bfloat16)
+        ref = mish(xb)
+        monkeypatch.setenv("LUNARIS_MISH_IMPL", "rat")
+        new = mish(xb)
+        same = np.asarray(ref == new)
+        assert same.mean() >= 0.993
+        bad_x = np.asarray(xb, np.float64)[~same]
+        assert bad_x.max() < -6.0
+        dev = np.abs(np.asarray(ref, np.float64) - np.asarray(new, np.float64))
+        core = np.asarray(xb, np.float64) >= -6.0
+        assert dev[~core].max() < 1e-4 or not (~core).any()
+        # 1-ulp worst case on the rare boundary-rounding points in the core
+        assert dev[core].max() <= 0.002
+
+    def test_mish_rational_gradient(self, monkeypatch):
+        from lunaris_orion_tpu.ops.activations import mish
+        x = jnp.linspace(-14.0, 11.0, 4001, dtype=jnp.float32)
+        g_ref = jax.grad(lambda v: jnp.sum(mish(v)))(x)
+        monkeypatch.setenv("LUNARIS_MISH_IMPL", "rat")
+        g_new = jax.grad(lambda v: jnp.sum(mish(v)))(x)
+        new = mish(x)
+        assert np.isfinite(_np(new)).all() and np.isfinite(_np(g_new)).all()
+        np.testing.assert_allclose(_np(g_new), _np(g_ref), atol=5e-4)
