@@ -12,6 +12,7 @@ Parity targets cited per function.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -255,6 +256,19 @@ def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
         out = mish(group_norm(params, x, groups=groups, eps=eps))
         return lax.optimization_barrier(out)
 
+    if (os.environ.get("LUNARIS_GNMISH_IMPL") == "fusedvjp"
+            and dispatch.choose("gn_mish") != "pallas"   # forced-K1 wins
+            and x.ndim == 4 and x.shape[3] % groups == 0):
+        # Residual-minimal custom VJP (r3 experiment, measured-REJECTED):
+        # keeps only the conv output + [B, G] stats across fwd->bwd and
+        # recomputes the normalized/mish chain in backward. Theory said two
+        # fewer activation-sized HBM round trips per stage; measurement
+        # (tools/bench_vae_parts.py --part sweep, b128) said 21.43 vs
+        # 20.44 ms/step — the custom_vjp boundary fences the GN math out of
+        # XLA's conv fusions, costing more than the saved residual traffic
+        # (same structural cause as the LUNARIS_GN_BARRIER rejection).
+        return _gn_mish_fused(x, params["scale"], params["bias"], groups, eps)
+
     # r3: the tiled K1 kernel (ops/pallas/gn_mish.py) bounds per-tile VMEM
     # regardless of image size, so it compiles at ALL reference stages
     # including 128px (the r1/r2 whole-image kernel could not). The gate is
@@ -274,6 +288,93 @@ def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
                            groups=groups, eps=eps)))
         return f(x, params["scale"], params["bias"])
     return mish(group_norm(params, x, groups=groups, eps=eps))
+
+
+def _gn_stats(x32: jax.Array, groups: int, eps: float):
+    """Per-(B, G) mean and inv-std via lane-preserving per-channel moments
+    (same math as group_norm's moments form)."""
+    b, h, w, c = x32.shape
+    cg = c // groups
+    s1 = jnp.mean(x32, axis=(1, 2))                       # [B, C]
+    s2 = jnp.mean(jnp.square(x32), axis=(1, 2))           # [B, C]
+    gmean = jnp.mean(s1.reshape(b, groups, cg), axis=2)   # [B, G]
+    gvar = jnp.mean(s2.reshape(b, groups, cg), axis=2) - jnp.square(gmean)
+    inv = lax.rsqrt(gvar + eps)
+    return gmean, inv
+
+
+def _mish32(g: jax.Array) -> jax.Array:
+    return g * jnp.tanh(jax.nn.softplus(g))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gn_mish_fused(x, scale, bias, groups, eps):
+    """mish(GroupNorm(x)) with a residual-minimal hand VJP.
+
+    Autodiff of the composition stores three activation-sized residuals
+    per stage (conv output y, the GN output g for mish's backward, and the
+    stage output) — visible in the r3 trace as conv fusions emitting the
+    activation twice (e.g. convert_reduce_fusion.65 outputs two
+    bf16[128,64,64,64] tensors). This VJP keeps ONLY y plus the [B, G]
+    stats and recomputes g / mish' in the backward, where the extra VPU
+    work is free (elementwise mish measured memory-bound at 652 GB/s,
+    tools/bench_mish_iso.py): per gn_mish site that is two fewer
+    activation-sized HBM round trips."""
+    b, h, w, c = x.shape
+    cg = c // groups
+    x32 = x.astype(jnp.float32)
+    gmean, inv = _gn_stats(x32, groups, eps)
+    sc = jnp.repeat(inv, cg, axis=1) * scale              # [B, C]
+    bi = bias - jnp.repeat(gmean * inv, cg, axis=1) * scale
+    g = x32 * sc[:, None, None, :] + bi[:, None, None, :]
+    # match the unfused path bit-for-bit: GN output rounds to the compute
+    # dtype before mish's f32 internals (group_norm -> astype -> mish)
+    g = g.astype(x.dtype).astype(jnp.float32)
+    return _mish32(g).astype(x.dtype)
+
+
+def _gn_mish_fused_fwd(x, scale, bias, groups, eps):
+    b, h, w, c = x.shape
+    cg = c // groups
+    x32 = x.astype(jnp.float32)
+    gmean, inv = _gn_stats(x32, groups, eps)
+    sc = jnp.repeat(inv, cg, axis=1) * scale
+    bi = bias - jnp.repeat(gmean * inv, cg, axis=1) * scale
+    g = x32 * sc[:, None, None, :] + bi[:, None, None, :]
+    g = g.astype(x.dtype).astype(jnp.float32)
+    out = _mish32(g).astype(x.dtype)
+    return out, (x, scale, bias, gmean, inv)
+
+
+def _gn_mish_fused_bwd(groups, eps, res, dout):
+    x, scale, bias, gmean, inv = res
+    b, h, w, c = x.shape
+    cg = c // groups
+    x32 = x.astype(jnp.float32)
+    do32 = dout.astype(jnp.float32)
+    invc = jnp.repeat(inv, cg, axis=1)[:, None, None, :]      # [B,1,1,C]
+    meanc = jnp.repeat(gmean, cg, axis=1)[:, None, None, :]
+    xhat = (x32 - meanc) * invc
+    g = (xhat * scale + bias).astype(x.dtype).astype(jnp.float32)
+    # mish'(g) at the same rounded point the forward used
+    t = jnp.tanh(jax.nn.softplus(g))
+    dmish = t + g * (1.0 - t * t) * jax.nn.sigmoid(g)
+    dg = do32 * dmish
+    dscale = jnp.sum(dg * xhat, axis=(0, 1, 2))
+    dbias = jnp.sum(dg, axis=(0, 1, 2))
+    dxhat = dg * scale
+    # group means over (H, W, C/G), lane-preserving like the forward
+    m1c = jnp.mean(dxhat, axis=(1, 2))                        # [B, C]
+    m2c = jnp.mean(dxhat * xhat, axis=(1, 2))                 # [B, C]
+    m1 = jnp.mean(m1c.reshape(b, groups, cg), axis=2)         # [B, G]
+    m2 = jnp.mean(m2c.reshape(b, groups, cg), axis=2)
+    m1c = jnp.repeat(m1, cg, axis=1)[:, None, None, :]
+    m2c = jnp.repeat(m2, cg, axis=1)[:, None, None, :]
+    dx = invc * (dxhat - m1c - xhat * m2c)
+    return dx.astype(x.dtype), dscale, dbias
+
+
+_gn_mish_fused.defvjp(_gn_mish_fused_fwd, _gn_mish_fused_bwd)
 
 
 def layer_norm_init(dim: int) -> Params:

@@ -299,3 +299,30 @@ class TestImplVariants:
         new = mish(x)
         assert np.isfinite(_np(new)).all() and np.isfinite(_np(g_new)).all()
         np.testing.assert_allclose(_np(g_new), _np(g_ref), atol=5e-4)
+
+    def test_gnmish_fusedvjp_matches_autodiff(self, rng, monkeypatch):
+        """LUNARIS_GNMISH_IMPL=fusedvjp (residual-minimal custom VJP,
+        measured-rejected r3 — see ops/layers.py) stays forward-bit-exact
+        and gradient-close to the default autodiff composition."""
+        for dtype, gtol in ((jnp.float32, 1e-4), (jnp.bfloat16, 5e-2)):
+            x = (jax.random.normal(rng, (2, 16, 16, 64)) * 2).astype(dtype)
+            p = {"scale": jnp.ones((64,)) * 1.3, "bias": jnp.ones((64,)) * .1}
+            ct = jax.random.normal(jax.random.PRNGKey(7), x.shape)
+
+            def loss(xx, sc, bi):
+                out = layers.group_norm_mish({"scale": sc, "bias": bi}, xx)
+                return jnp.sum(out.astype(jnp.float32) * ct)
+
+            ref = layers.group_norm_mish(p, x)
+            g_ref = jax.grad(loss, argnums=(0, 1, 2))(
+                x, p["scale"], p["bias"])
+            monkeypatch.setenv("LUNARIS_GNMISH_IMPL", "fusedvjp")
+            new = layers.group_norm_mish(p, x)
+            g_new = jax.grad(loss, argnums=(0, 1, 2))(
+                x, p["scale"], p["bias"])
+            monkeypatch.delenv("LUNARIS_GNMISH_IMPL")
+            assert np.array_equal(_np(ref), _np(new))  # fwd bit-exact
+            for a, b in zip(g_ref, g_new):
+                np.testing.assert_allclose(
+                    _np(a).astype(np.float32), _np(b).astype(np.float32),
+                    rtol=gtol, atol=gtol)

@@ -257,7 +257,7 @@ def impl_sweep(batch, latent, iters, configs):
     out = {}
     for name, env in configs:
         for k in ("LUNARIS_GN_IMPL", "LUNARIS_MISH_IMPL",
-                  "LUNARIS_CONVT_IMPL"):
+                  "LUNARIS_CONVT_IMPL", "LUNARIS_GNMISH_IMPL"):
             os.environ.pop(k, None)
         os.environ.update(env)
         dt = full_step_time(batch, latent, iters)
@@ -265,7 +265,8 @@ def impl_sweep(batch, latent, iters, configs):
         log(f"  {name}: {dt*1e3:.2f} ms")
         print(json.dumps({"sweep": name, "env": env,
                           "full_step_ms": out[name]}), flush=True)
-    for k in ("LUNARIS_GN_IMPL", "LUNARIS_MISH_IMPL", "LUNARIS_CONVT_IMPL"):
+    for k in ("LUNARIS_GN_IMPL", "LUNARIS_MISH_IMPL", "LUNARIS_CONVT_IMPL",
+              "LUNARIS_GNMISH_IMPL"):
         os.environ.pop(k, None)
     return out
 
@@ -274,6 +275,8 @@ SWEEP_CONFIGS = [
     ("anchor_convt_vjp", {}),
     ("convt_vjp_off", {"LUNARIS_CONVT_VJP": "off"}),
     ("gn_barrier", {"LUNARIS_GN_BARRIER": "1"}),
+    ("gnmish_fusedvjp", {"LUNARIS_GNMISH_IMPL": "fusedvjp"}),
+    ("gnmish_autodiff", {"LUNARIS_GNMISH_IMPL": "off"}),
 ]
 
 
@@ -285,11 +288,17 @@ def main():
     ap.add_argument("--part", default="all",
                     choices=["all", "convt", "gn", "split", "fullstep",
                              "ablate", "sweep"])
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated SWEEP_CONFIGS names to run")
     args = ap.parse_args()
     log(f"device: {jax.devices()[0]}")
 
     if args.part == "sweep":
-        impl_sweep(args.batch, args.latent, args.iters, SWEEP_CONFIGS)
+        cfgs = SWEEP_CONFIGS
+        if args.configs:
+            names = set(args.configs.split(","))
+            cfgs = [c for c in SWEEP_CONFIGS if c[0] in names]
+        impl_sweep(args.batch, args.latent, args.iters, cfgs)
         return
     if args.part == "ablate":
         elementwise_ablation(args.batch, args.latent, args.iters)

@@ -83,6 +83,30 @@ def aggregate_xplane(logdir):
     return data
 
 
+def aggregate_trace_json(logdir, steps):
+    """Fallback: aggregate device-lane op self-times from trace.json.gz
+    (the xprof converter import is broken in this image). Device events
+    are identified as the pids hosting XLA fusion/convolution executions."""
+    import gzip
+    from collections import defaultdict
+    paths = glob.glob(str(Path(logdir) / "**" / "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise FileNotFoundError(f"no trace.json.gz under {logdir}")
+    d = json.load(gzip.open(paths[0]))
+    evs = [e for e in d["traceEvents"] if e.get("ph") == "X"]
+    dev_pids = {e["pid"] for e in evs
+                if "fusion" in e.get("name", "") or
+                e.get("name", "").startswith(("convolution", "while"))}
+    agg, cnt = defaultdict(float), defaultdict(int)
+    for e in evs:
+        if e["pid"] in dev_pids and not e["name"].startswith(
+                ("while", "jit_", "0")):
+            agg[e["name"]] += e.get("dur", 0) / steps
+            cnt[e["name"]] += 1
+    return agg, cnt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8)
@@ -93,12 +117,30 @@ def main():
     log(f"device: {jax.devices()[0]}")
 
     steps, params, opt_state = build_step(args.batch, args.latent)
-    # warm compile outside the trace
-    float(steps(params, opt_state, args.steps))
+    # warm compile outside the trace; dump the optimized HLO so trace
+    # fusion names can be mapped back to model ops
+    lowered = steps.lower(params, opt_state, args.steps)
+    compiled = lowered.compile()
+    hlo_path = Path(tempfile.gettempdir()) / "lunaris_step_hlo.txt"
+    hlo_path.write_text(compiled.as_text())
+    log(f"optimized HLO -> {hlo_path}")
+    float(compiled(params, opt_state))
     logdir = tempfile.mkdtemp(prefix="lunaris_profile_")
     with jax.profiler.trace(logdir):
-        float(steps(params, opt_state, args.steps))
+        float(compiled(params, opt_state))
     log(f"trace -> {logdir}")
+
+    try:
+        agg, cnt = aggregate_trace_json(logdir, args.steps)
+        total = sum(agg.values())
+        for name, t in sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]:
+            print(json.dumps({"op": name, "ms_per_step": round(t / 1e3, 4),
+                              "count": cnt[name] // args.steps,
+                              "pct": round(100 * t / total, 2)}), flush=True)
+        print(json.dumps({"device_total_ms_per_step": round(total / 1e3, 3)}))
+        return
+    except Exception as e:
+        log(f"trace.json aggregation failed: {e!r}")
 
     try:
         csv_data = aggregate_xplane(logdir)
