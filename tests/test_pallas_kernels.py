@@ -51,6 +51,44 @@ class TestGNMish:
                                    rtol=2e-5, atol=2e-5)
 
 
+class TestFusedStage:
+    """K5 — GN-apply+Mish+conv3x3 megakernel (ops/pallas/fused_stage.py)."""
+
+    @pytest.mark.parametrize("h,cin,cout,band", [(32, 64, 64, 8),
+                                                 (64, 32, 32, 32),
+                                                 (32, 128, 64, 16)])
+    def test_matches_xla_chain(self, rng, h, cin, cout, band):
+        from lunaris_orion_tpu.ops.pallas import fused_stage as fs
+        assert fs.supported_shape(h, h, cin, cout, band)
+        y = (jax.random.normal(rng, (2, h, h, cin)) * 2.0).astype(jnp.float32)
+        alpha = jax.random.normal(jax.random.fold_in(rng, 1), (2, cin)) * .2 + 1
+        beta = jax.random.normal(jax.random.fold_in(rng, 2), (2, cin)) * .1
+        w = jax.random.normal(jax.random.fold_in(rng, 3),
+                              (3, 3, cin, cout)) * 0.05
+        wb = jax.random.normal(jax.random.fold_in(rng, 4), (cout,)) * 0.1
+        ref = fs.gn_mish_conv3_reference(y, alpha, beta, w, wb)
+        out = fs.gn_mish_conv3_pallas(y, alpha, beta, w, wb, band=band)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_bf16_rounding_matches_model_path(self, rng):
+        """bf16 activations: the kernel rounds normalize->bf16 before mish
+        exactly like group_norm -> astype -> mish in the model."""
+        from lunaris_orion_tpu.ops.pallas import fused_stage as fs
+        y = (jax.random.normal(rng, (1, 32, 32, 64)) * 2).astype(jnp.bfloat16)
+        alpha = jnp.ones((1, 64)) * 1.1
+        beta = jnp.ones((1, 64)) * 0.05
+        w = (jax.random.normal(jax.random.fold_in(rng, 3),
+                               (3, 3, 64, 64)) * 0.05)
+        wb = jnp.zeros((64,))
+        ref = fs.gn_mish_conv3_reference(y, alpha, beta, w, wb)
+        out = fs.gn_mish_conv3_pallas(y, alpha, beta, w, wb, band=8)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+
 class TestLossEpilogue:
     def test_matches_reference_formulas(self, rng):
         ks = jax.random.split(rng, 4)
