@@ -39,13 +39,20 @@ from lunaris_orion_tpu.train.state import make_optimizers
 A100_PEAK_FLOPS = 312e12
 ASSUMED_REF_MFU = 0.25
 
-# Batch 128 is the per-chip throughput point (64 -> 3.6k, 128 -> 5.7k,
-# 256 -> 5.9k sprites/s on v5e: a ~13 ms batch-independent fixed cost
-# dominates small batches). The analytic baseline is per-FLOP and therefore
-# batch-independent, so the comparison stays apples-to-apples.
-BATCH = 128
+# Operating point (r3, BASELINE.md "Gradient-accumulation operating
+# points"): micro-batch 128 is the largest single program that fits HBM;
+# accumulating ACCUM micro-batches per optimizer update (exactly the
+# reference's --gradient_accumulation_steps semantics,
+# train_hybrid.py:894-926) amortizes the ~2 ms optimizer+fixed cost:
+# 1x128 -> 6,277, 2x128 -> 6,409, 4x128 -> 6,721 sprites/s/chip. The
+# analytic baseline is per-FLOP and batch-independent, so the comparison
+# stays apples-to-apples; the batch-64 reference-recipe point is tabulated
+# in BASELINE.md (16.23 ms, 3,942 sprites/s).
+MICRO = 128
+ACCUM = 4
+BATCH = MICRO * ACCUM
 LATENT = 512
-ITERS = 120
+ITERS = 40
 REPS = 3
 
 
@@ -94,24 +101,32 @@ def main():
     params = vae_mod.init(key, vcfg)
     opt_state = vae_tx.init(params)
     batch = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (BATCH, 128, 128, 3),
+        np.random.default_rng(0).integers(0, 256, (MICRO, 128, 128, 3),
                                           dtype=np.uint8))
 
     def one_step(carry, i):
         params, opt_state = carry
-        x = batch.astype(jnp.bfloat16) / 127.5 - 1.0
-        rng = jax.random.fold_in(key, i)
 
-        def loss_fn(p):
-            recon, mu, logvar = vae_mod.apply(p, x, rng=rng, cfg=vcfg)
-            rl, kl = losses_mod.recon_kl(recon, x, mu, logvar)
-            return cfg.recon_weight * rl + cfg.kl_weight * kl
+        def micro_step(g_acc, j):
+            x = batch.astype(jnp.bfloat16) / 127.5 - 1.0
+            rng = jax.random.fold_in(key, i * ACCUM + j)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            def loss_fn(p):
+                recon, mu, logvar = vae_mod.apply(p, x, rng=rng, cfg=vcfg)
+                rl, kl = losses_mod.recon_kl(recon, x, mu, logvar)
+                return cfg.recon_weight * rl + cfg.kl_weight * kl
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            return jax.tree_util.tree_map(lambda a, b: a + b, g_acc, g), l
+
+        g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        grads, micro_losses = jax.lax.scan(micro_step, g0,
+                                           jnp.arange(ACCUM))
+        grads = jax.tree_util.tree_map(lambda g: g / ACCUM, grads)
         updates, opt_state = vae_tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), params, updates)
-        return (params, opt_state), loss
+        return (params, opt_state), micro_losses[-1]
 
     def timed_chain(k: int):
         fn = jax.jit(lambda p, o: jax.lax.scan(one_step, (p, o),

@@ -55,7 +55,7 @@ def supported_shape(h: int, w: int, cin: int, cout: int,
 
 def _kernel(x_ref, a_ref, b_ref, w_ref, wb_ref, o_ref,
             gl_ref, gc_ref, gr_ref, *,
-            band: int, h: int, wdt: int, nbands: int):
+            band: int, h: int, wdt: int, nbands: int, variant: str):
     i = pl.program_id(1)
 
     # ---- VPU phase: normalize+mish band i, store 3 width-shifted copies
@@ -89,22 +89,36 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, wb_ref, o_ref,
     def _mxu():
         t = i - 1
         r0 = t * band
-        acc = jnp.zeros((band * wdt, w_ref.shape[-1]), jnp.float32)
-        for dy in range(3):
-            for dx, ref in enumerate((gl_ref, gc_ref, gr_ref)):
-                blk = ref[pl.dslice(r0 + dy, band)]   # [band, W, Cin]
-                blk = blk.reshape(band * wdt, blk.shape[-1])
-                acc += lax.dot_general(
-                    blk, w_ref[dy * 3 + dx],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        if variant == "im2col":
+            # one 9*Cin-deep contraction per band: VPU concat builds the
+            # patch matrix, the MXU sees a single deep matmul
+            taps = []
+            for dy in range(3):
+                for ref in (gl_ref, gc_ref, gr_ref):
+                    taps.append(ref[pl.dslice(r0 + dy, band)])
+            lhs = jnp.concatenate(taps, axis=-1)      # [band, W, 9*Cin]
+            lhs = lhs.reshape(band * wdt, lhs.shape[-1])
+            acc = lax.dot_general(
+                lhs, w_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.zeros((band * wdt, w_ref.shape[-1]), jnp.float32)
+            for dy in range(3):
+                for dx, ref in enumerate((gl_ref, gc_ref, gr_ref)):
+                    blk = ref[pl.dslice(r0 + dy, band)]   # [band, W, Cin]
+                    blk = blk.reshape(band * wdt, blk.shape[-1])
+                    acc += lax.dot_general(
+                        blk, w_ref[dy * 3 + dx],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
         acc = acc + wb_ref[0][None].astype(jnp.float32)
         o_ref[0] = acc.reshape(band, wdt, -1).astype(o_ref.dtype)
 
 
 def gn_mish_conv3_pallas(y: jax.Array, alpha: jax.Array, beta: jax.Array,
                          w: jax.Array, wb: jax.Array, *,
-                         band: int = 32) -> jax.Array:
+                         band: int = 16, variant: str = "dots9"
+                         ) -> jax.Array:
     """conv3x3_same(mish(y * alpha + beta)) + wb.
 
     y: [B, H, W, Cin] activations (bf16/f32); alpha/beta: [B, Cin] f32
@@ -117,10 +131,20 @@ def gn_mish_conv3_pallas(y: jax.Array, alpha: jax.Array, beta: jax.Array,
     nbands = h // band
     grid = (b, nbands + 1)
     interp = jax.default_backend() != "tpu"
-    wr = w.astype(y.dtype).reshape(9, cin, cout)
+    if variant == "im2col":
+        # tap order matches the kernel's concat: (dy, dx=l,c,r) major
+        wr = w.astype(y.dtype).reshape(9, cin, cout).reshape(
+            9 * cin, cout)[None]
+        wspec = pl.BlockSpec((1, 9 * cin, cout), lambda i, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        wr = w.astype(y.dtype).reshape(9, cin, cout)
+        wspec = pl.BlockSpec((9, cin, cout), lambda i, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, band=band, h=h, wdt=wdt, nbands=nbands),
+        functools.partial(_kernel, band=band, h=h, wdt=wdt, nbands=nbands,
+                          variant=variant),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, band, wdt, cin),
@@ -130,8 +154,7 @@ def gn_mish_conv3_pallas(y: jax.Array, alpha: jax.Array, beta: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cin), lambda i, t: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, cin, cout), lambda i, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            wspec,
             pl.BlockSpec((1, cout), lambda i, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -146,7 +169,10 @@ def gn_mish_conv3_pallas(y: jax.Array, alpha: jax.Array, beta: jax.Array,
             pltpu.VMEM((h + 2, wdt, cin), y.dtype),   # g right-shifted
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # default scoped limit is 16 MB; the 3 shifted copies alone are
+            # 6.4 MB at the 128px stage, so lift it (v5e VMEM is far larger)
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interp,
     )(y.reshape(b, h, wdt, cin), alpha[:, None, :].astype(jnp.float32),
       beta[:, None, :].astype(jnp.float32), wr,

@@ -36,14 +36,18 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def slope_time(step_fn, carry, iters, reps=3):
+def slope_time(step_fn, carry, iters, reps=3, *args):
+    """step_fn(carry, i, *args); big operands go through *args so they are
+    runtime arguments, not compile-request constants (the relay rejects
+    >~100 MB program bodies with HTTP 413)."""
     def chain(k):
-        fn = jax.jit(lambda c: lax.scan(step_fn, c, jnp.arange(k))[0])
-        jax.block_until_ready(fn(carry))
+        fn = jax.jit(lambda c, *a: lax.scan(
+            lambda cc, i: step_fn(cc, i, *a), c, jnp.arange(k))[0])
+        jax.block_until_ready(fn(carry, *args))
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            jax.block_until_ready(fn(carry))
+            jax.block_until_ready(fn(carry, *args))
             best = min(best, time.time() - t0)
         return best
 
@@ -106,11 +110,12 @@ def main():
         be = bias - jnp.repeat(gm * inv, cg, axis=1) * scale
         return al, be
 
-    def pallas_fused(x, band):
+    def pallas_fused(x, band, variant="dots9"):
         from lunaris_orion_tpu.ops.pallas import fused_stage as fs
         al, be = affine(x)
         return fs.gn_mish_conv3_pallas(
-            x, al, be, w, jnp.zeros((cout,), jnp.float32), band=band)
+            x, al, be, w, jnp.zeros((cout,), jnp.float32), band=band,
+            variant=variant)
 
     cases = {
         "conv_alone": lambda x: conv(x),
@@ -120,18 +125,26 @@ def main():
             [jnp.mean(x.astype(jnp.float32), axis=(1, 2)),
              jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(1, 2))]),
         "pallas_fused_b16": lambda x: pallas_fused(x, 16),
-        "pallas_fused_b32": lambda x: pallas_fused(x, 32),
+        "pallas_im2col_b8": lambda x: pallas_fused(x, 8, "im2col"),
+        "pallas_im2col_b16": lambda x: pallas_fused(x, 16, "im2col"),
+        "pallas_im2col_b32": lambda x: pallas_fused(x, 32, "im2col"),
     }
 
     gflop_conv = 2 * b * hw * hw * cin * cout * 9 / 1e9
     res = {}
     for name, f in cases.items():
-        def step(c, i, f=f):
+        def step(c, i, yy, f=f):
             acc, = c
-            out = f(y + (i * 1e-6).astype(y.dtype))
+            out = f(yy + (i * 1e-6).astype(yy.dtype))
             return (acc + jnp.mean(out.astype(jnp.float32)),), 0.0
 
-        t = slope_time(step, (jnp.zeros(()),), args.iters)
+        try:
+            t = slope_time(step, (jnp.zeros(()),), args.iters, 3, y)
+        except Exception as e:
+            log(f"  {name}: FAILED {str(e)[:160]}")
+            print(json.dumps({"case": name, "error": str(e)[:160]}),
+                  flush=True)
+            continue
         res[name] = t
         extra = ""
         if "conv" in name or name == "chain":
