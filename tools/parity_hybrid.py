@@ -251,6 +251,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the JAX side onto CPU (frees the TPU; env "
                          "vars alone are overridden by the axon plugin)")
+    ap.add_argument("--modes", default="deterministic,sampled",
+                    help="comma list; finished modes are loaded from the "
+                         "incremental json so a crash never re-runs them")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -259,8 +262,16 @@ def main():
     cfg, vcfg, tcfg = make_cfgs()
     data = make_data(args.steps, args.batch, vcfg.image_size)
 
+    docs = REPO / "docs"
+    docs.mkdir(exist_ok=True)
+    wanted = [m.strip() for m in args.modes.split(",") if m.strip()]
     results = {}
+    if (docs / "parity_hybrid.json").exists():
+        with open(docs / "parity_hybrid.json") as f:
+            results = json.load(f)
     for mode, sample in (("deterministic", False), ("sampled", True)):
+        if mode not in wanted:
+            continue
         sd0, t_curves = run_torch(data, cfg, vcfg, tcfg, sample)
         j_curves = run_jax(data, cfg, vcfg, tcfg, sd0, sample)
         results[mode] = {"torch": t_curves, "jax": j_curves}
@@ -274,12 +285,11 @@ def main():
         results[mode]["max_rel_divergence"] = div
         print(f"{mode}: back-half max rel divergence " +
               " ".join(f"{k}={v:.3%}" for k, v in div.items()), flush=True)
-        docs = REPO / "docs"
-        docs.mkdir(exist_ok=True)
         with open(docs / "parity_hybrid.json", "w") as f:
             json.dump(results, f)   # incremental: survive timeouts
 
-    plot(results, docs / "parity_hybrid.png")
+    if all(m in results for m in ("deterministic", "sampled")):
+        plot(results, docs / "parity_hybrid.png")
 
 
 if __name__ == "__main__":
