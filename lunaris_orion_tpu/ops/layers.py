@@ -224,11 +224,7 @@ def group_norm(params: Params, x: jax.Array, *, groups: int = 8,
         xn = ((xg - mean) * lax.rsqrt(var + eps)).reshape(b, h, w, c)
         return (xn * params["scale"] + params["bias"]).astype(orig)
     cg = c // groups
-    s1 = jnp.mean(x32, axis=(1, 2))                  # [B, C]
-    s2 = jnp.mean(jnp.square(x32), axis=(1, 2))      # [B, C]
-    gmean = jnp.mean(s1.reshape(b, groups, cg), axis=2)   # [B, G]
-    gvar = jnp.mean(s2.reshape(b, groups, cg), axis=2) - jnp.square(gmean)
-    inv = lax.rsqrt(gvar + eps)
+    gmean, inv = _gn_stats(x32, groups, eps)
     scale = jnp.repeat(inv, cg, axis=1) * params["scale"]         # [B, C]
     bias = params["bias"] - jnp.repeat(gmean * inv, cg, axis=1) * params["scale"]
     out = x32 * scale[:, None, None, :] + bias[:, None, None, :]
@@ -292,14 +288,19 @@ def group_norm_mish(params: Params, x: jax.Array, *, groups: int = 8,
 
 def _gn_stats(x32: jax.Array, groups: int, eps: float):
     """Per-(B, G) mean and inv-std via lane-preserving per-channel moments
-    (same math as group_norm's moments form)."""
+    (the moments form shared by group_norm and the fused VJP).
+
+    E[x^2] - mean^2 cancels catastrophically when |mean| >> std and can go
+    slightly NEGATIVE in f32 (NaN through rsqrt, where the two-pass form
+    would survive) — clamp to 0 so pathological inputs degrade to the
+    eps-floored inv-std instead of poisoning the step."""
     b, h, w, c = x32.shape
     cg = c // groups
     s1 = jnp.mean(x32, axis=(1, 2))                       # [B, C]
     s2 = jnp.mean(jnp.square(x32), axis=(1, 2))           # [B, C]
     gmean = jnp.mean(s1.reshape(b, groups, cg), axis=2)   # [B, G]
     gvar = jnp.mean(s2.reshape(b, groups, cg), axis=2) - jnp.square(gmean)
-    inv = lax.rsqrt(gvar + eps)
+    inv = lax.rsqrt(jnp.maximum(gvar, 0.0) + eps)
     return gmean, inv
 
 
@@ -320,17 +321,7 @@ def _gn_mish_fused(x, scale, bias, groups, eps):
     work is free (elementwise mish measured memory-bound at 652 GB/s,
     tools/bench_mish_iso.py): per gn_mish site that is two fewer
     activation-sized HBM round trips."""
-    b, h, w, c = x.shape
-    cg = c // groups
-    x32 = x.astype(jnp.float32)
-    gmean, inv = _gn_stats(x32, groups, eps)
-    sc = jnp.repeat(inv, cg, axis=1) * scale              # [B, C]
-    bi = bias - jnp.repeat(gmean * inv, cg, axis=1) * scale
-    g = x32 * sc[:, None, None, :] + bi[:, None, None, :]
-    # match the unfused path bit-for-bit: GN output rounds to the compute
-    # dtype before mish's f32 internals (group_norm -> astype -> mish)
-    g = g.astype(x.dtype).astype(jnp.float32)
-    return _mish32(g).astype(x.dtype)
+    return _gn_mish_fused_fwd(x, scale, bias, groups, eps)[0]
 
 
 def _gn_mish_fused_fwd(x, scale, bias, groups, eps):

@@ -100,11 +100,22 @@ def _exp2_mode() -> bool:
     return _os.environ.get("LUNARIS_ATTN_EXP2", "0") == "1"
 
 
-def _prng_dropout(n: int, *blocks: int) -> bool:
+def _prng_dropout(n: int) -> bool:
+    """Whole-call PRNG-dropout eligibility, decided ONCE per attention call
+    from the sequence length: every tile shape the forward AND backward
+    kernels will derive from n must be 512-aligned, otherwise ALL kernels
+    fall back to the hash mask together. A per-kernel (per-tile-shape)
+    decision would let the forward use the PRNG mask while a backward
+    kernel with a smaller non-aligned tiling silently used the hash mask —
+    different dropout masks between forward and backward, i.e. corrupt
+    gradients (found in review; pinned by
+    tests/test_pallas_attention.py::test_prng_eligibility_consistent)."""
     if _os.environ.get("LUNARIS_ATTN_DROPOUT", "hash") != "prng":
         return False
     if _interpret():
         return False  # pltpu.prng_* needs real Mosaic
+    blocks = (_pick_block(n, BLOCK_Q), _pick_block(n, BLOCK_K),
+              _pick_block(n, BWD_BLOCK_Q), _pick_block(n, BWD_BLOCK_K))
     return all(b % _PRNG_GRAIN == 0 for b in blocks)
 
 
@@ -217,13 +228,14 @@ def _hash_mask(row_seed, k0, q0, shape, keep_prob: float):
     return keep.astype(jnp.float32) * (1.0 / keep_prob)
 
 
-def _mask_for(row_seed, k0, q0, shape, keep_prob: float):
+def _mask_for(row_seed, k0, q0, shape, keep_prob: float, use_prng: bool):
     """Trace-time dispatch between the 5-op hash mask (default, also runs
-    outside Pallas for dense test references) and the hardware-PRNG mask
-    (LUNARIS_ATTN_DROPOUT=prng; requires 512-aligned tiles)."""
-    if (_os.environ.get("LUNARIS_ATTN_DROPOUT", "hash") == "prng"
-            and not _interpret()
-            and all(s % _PRNG_GRAIN == 0 for s in shape)):
+    outside Pallas for dense test references) and the hardware-PRNG mask.
+    `use_prng` is the WHOLE-CALL _prng_dropout(n) decision threaded in by
+    the kernel builders — never re-derived per tile shape, so the forward
+    and backward kernels of one call always agree on the mask family."""
+    if use_prng:
+        assert all(s % _PRNG_GRAIN == 0 for s in shape), shape
         return _prng_keep(row_seed, k0, q0, shape, keep_prob)
     return _keep_mask(row_seed, k0, q0, shape, keep_prob)
 
@@ -233,7 +245,8 @@ def _mask_for(row_seed, k0, q0, shape, keep_prob: float):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
-                o_ref, lse_ref, *, block_k: int, dropout_rate: float):
+                o_ref, lse_ref, *, block_k: int, dropout_rate: float,
+                use_prng: bool):
     # q arrives PRE-SCALED by d^-0.5 (applied once outside the custom_vjp,
     # saving a full [bk, bq] multiply per tile in all three kernels).
     d = q_ref.shape[1]
@@ -260,7 +273,7 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
         l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
         if dropout_rate > 0.0:
             keep = _mask_for(row_seed, j * block_k, q_id * bq,
-                              pT.shape, 1.0 - dropout_rate)
+                              pT.shape, 1.0 - dropout_rate, use_prng)
             pT_used = jnp.where(keep, pT * inv_keep, 0.0)
         else:
             pT_used = pT
@@ -298,7 +311,8 @@ def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
     vm = dict(memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=bk,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate,
+                          use_prng=_prng_dropout(n)),
         grid=grid,
         compiler_params=_PARALLEL2,
         in_specs=[
@@ -329,7 +343,7 @@ def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
 
 def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                    lse_ref, delta_ref, dq_ref, *, block_k: int,
-                   dropout_rate: float):
+                   dropout_rate: float, use_prng: bool):
     # q pre-scaled; dq produced here is the gradient wrt the SCALED q — the
     # chain through the outside scaling restores d^-0.5 automatically.
     d, bq = q_ref.shape[1], q_ref.shape[2]
@@ -354,7 +368,7 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _mask_for(row_seed, j * block_k, q_id * bq,
-                              dpT.shape, 1.0 - dropout_rate)
+                              dpT.shape, 1.0 - dropout_rate, use_prng)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
         dsT = (pT * (dpT - delta)).astype(qT.dtype)                # [bk, bq]
         return dq + jax.lax.dot_general(
@@ -369,7 +383,7 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
                     do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dbias_ref, *,
-                    block_q: int, dropout_rate: float):
+                    block_q: int, dropout_rate: float, use_prng: bool):
     # q pre-scaled: dk = q_scaled @ ds already carries the d^-0.5 factor.
     d, bk = k_ref.shape[1], k_ref.shape[2]
     n = q_ref.shape[2]
@@ -395,7 +409,7 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _mask_for(row_seed, k_id * bk, i * block_q,
-                              pT.shape, 1.0 - dropout_rate)
+                              pT.shape, 1.0 - dropout_rate, use_prng)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
             pT_v = jnp.where(keep, pT * inv_keep, 0.0)
         else:
@@ -424,7 +438,8 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
 
 def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
                       do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
-                      dbias_ref, *, block_q: int, dropout_rate: float):
+                      dbias_ref, *, block_q: int, dropout_rate: float,
+                      use_prng: bool):
     """Single-pass backward: one program = one (bh, kv-block); dq is a
     whole-row f32 VMEM accumulator revisited across the kv grid dimension
     (1 MB at d=16, N=16384 — fits), zero-initialized at the first kv block.
@@ -462,7 +477,7 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _mask_for(row_seed, k_id * bk, i * block_q,
-                              pT.shape, 1.0 - dropout_rate)
+                              pT.shape, 1.0 - dropout_rate, use_prng)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
             pT_v = jnp.where(keep, pT * inv_keep, 0.0)
         else:
@@ -537,7 +552,8 @@ def _vjp_bwd(dropout_rate, res, doT):
     if FUSED_BWD and d * n * 4 <= 2**21:
         dq32, dk, dv, dbias_bh = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, block_q=bq,
-                              dropout_rate=dropout_rate),
+                              dropout_rate=dropout_rate,
+                              use_prng=_prng_dropout(n)),
             grid=(bh, n // bk),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
@@ -572,7 +588,8 @@ def _vjp_bwd(dropout_rate, res, doT):
                 None)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=bk,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate,
+                          use_prng=_prng_dropout(n)),
         grid=(bh, n // bq),
         compiler_params=_PARALLEL2,
         in_specs=[
@@ -593,7 +610,8 @@ def _vjp_bwd(dropout_rate, res, doT):
 
     dk, dv, dbias_bh = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=bq,
-                          dropout_rate=dropout_rate),
+                          dropout_rate=dropout_rate,
+                          use_prng=_prng_dropout(n)),
         grid=(bh, n // bk),
         compiler_params=_PARALLEL2,
         in_specs=[

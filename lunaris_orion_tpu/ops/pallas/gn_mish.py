@@ -128,7 +128,9 @@ def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
     gs1 = jnp.sum(s1c.reshape(b, groups, cg), axis=2)
     gs2 = jnp.sum(s2c.reshape(b, groups, cg), axis=2)
     mean_g = gs1 / n_set
-    var_g = gs2 / n_set - jnp.square(mean_g)
+    # clamp: E[x^2]-mean^2 can go slightly negative in f32 under
+    # catastrophic cancellation (|mean| >> std) -> NaN through rsqrt
+    var_g = jnp.maximum(gs2 / n_set - jnp.square(mean_g), 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     alpha_c = jnp.repeat(inv_g, cg, axis=1) * scale.astype(jnp.float32)
     beta_c = (bias.astype(jnp.float32)

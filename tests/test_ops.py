@@ -78,6 +78,21 @@ class TestNorms:
                                    tout.permute(0, 2, 3, 1).numpy(),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_group_norm_large_offset_no_nan(self):
+        """Moments-form variance (E[x^2] - mean^2) cancels catastrophically
+        in f32 when |mean| >> std and can go NEGATIVE (this exact input
+        gives gvar = -1.25 unclamped -> NaN through rsqrt); the clamp in
+        _gn_stats must keep the output finite. Both the default moments
+        path and the torch-parity check at healthy scales stay intact."""
+        x = jnp.asarray(
+            (2048.0 + 0.01 * np.random.default_rng(0)
+             .standard_normal((2, 8, 8, 16))).astype(np.float32))
+        p = layers.group_norm_init(16)
+        out = layers.group_norm(p, x, groups=8)
+        assert np.isfinite(np.asarray(out)).all()
+        gm = layers.group_norm_mish(p, x, groups=8)
+        assert np.isfinite(np.asarray(gm)).all()
+
     def test_batch_norm_train_and_eval(self, rng):
         x = jax.random.normal(rng, (4, 8, 8, 6))
         p, s = layers.batch_norm_init(6)

@@ -236,3 +236,41 @@ class TestExp2Mode:
                                seed=jnp.int32(11))
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestPrngEligibility:
+    """The PRNG-dropout decision must be whole-call (one verdict for the
+    forward AND backward kernels of a single attention call), never
+    re-derived per tile shape — a per-tile decision let the forward use
+    the PRNG mask while a backward kernel with a non-512-aligned tiling
+    silently fell back to the hash mask: different dropout masks between
+    forward and backward, i.e. corrupt gradients."""
+
+    def test_prng_eligibility_consistent(self, monkeypatch):
+        monkeypatch.setenv("LUNARIS_ATTN_DROPOUT", "prng")
+        monkeypatch.setattr(fa, "_interpret", lambda: False)
+        # n=1536: forward tiles (bk=1536, bq=512) are 512-aligned, but the
+        # backward picks bk=_pick_block(1536, 1024)=768 — NOT aligned. The
+        # whole-call verdict must therefore be False (the old per-tile
+        # dispatch said yes in forward, no in backward).
+        assert fa._pick_block(1536, fa.BWD_BLOCK_K) % fa._PRNG_GRAIN != 0
+        assert fa._pick_block(1536, fa.BLOCK_K) % fa._PRNG_GRAIN == 0
+        assert fa._prng_dropout(1536) is False
+        # n=4096: every derived tiling is 512-aligned -> eligible.
+        for desired in (fa.BLOCK_Q, fa.BLOCK_K, fa.BWD_BLOCK_Q,
+                        fa.BWD_BLOCK_K):
+            assert fa._pick_block(4096, desired) % fa._PRNG_GRAIN == 0
+        assert fa._prng_dropout(4096) is True
+
+    def test_prng_disabled_by_default_and_in_interpret(self, monkeypatch):
+        monkeypatch.delenv("LUNARIS_ATTN_DROPOUT", raising=False)
+        assert fa._prng_dropout(4096) is False
+        monkeypatch.setenv("LUNARIS_ATTN_DROPOUT", "prng")
+        monkeypatch.setattr(fa, "_interpret", lambda: True)
+        assert fa._prng_dropout(4096) is False
+
+    def test_mask_for_hash_path_matches_keep_mask(self):
+        seed = jnp.int32(7)
+        a = fa._mask_for(seed, 0, 0, (256, 128), 0.9, False)
+        b = fa._keep_mask(seed, 0, 0, (256, 128), 0.9)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -250,14 +250,26 @@ def elementwise_ablation(batch, latent, iters):
     return out
 
 
+_SWEEP_KNOBS = ("LUNARIS_GN_IMPL", "LUNARIS_MISH_IMPL",
+                "LUNARIS_CONVT_IMPL", "LUNARIS_GNMISH_IMPL",
+                "LUNARIS_CONVT_VJP", "LUNARIS_GN_BARRIER")
+
+
 def impl_sweep(batch, latent, iters, configs):
     """Same-process sweep over (gn, mish, convt) impl combos — cancels the
-    relay's between-process timing jitter (~+-0.5 ms)."""
+    relay's between-process timing jitter (~+-0.5 ms).
+
+    EVERY knob any config can set is cleared before each row AND after the
+    sweep (the clear-set is asserted to cover the configs): a leaked knob
+    contaminates every following A/B silently — an earlier version cleared
+    only four of the six and measured 'gnmish_fusedvjp' with the previous
+    row's LUNARIS_GN_BARRIER=1 still active."""
     import os
+    for _, env in configs:
+        assert set(env) <= set(_SWEEP_KNOBS), (env, _SWEEP_KNOBS)
     out = {}
     for name, env in configs:
-        for k in ("LUNARIS_GN_IMPL", "LUNARIS_MISH_IMPL",
-                  "LUNARIS_CONVT_IMPL", "LUNARIS_GNMISH_IMPL"):
+        for k in _SWEEP_KNOBS:
             os.environ.pop(k, None)
         os.environ.update(env)
         dt = full_step_time(batch, latent, iters)
@@ -265,8 +277,7 @@ def impl_sweep(batch, latent, iters, configs):
         log(f"  {name}: {dt*1e3:.2f} ms")
         print(json.dumps({"sweep": name, "env": env,
                           "full_step_ms": out[name]}), flush=True)
-    for k in ("LUNARIS_GN_IMPL", "LUNARIS_MISH_IMPL", "LUNARIS_CONVT_IMPL",
-              "LUNARIS_GNMISH_IMPL"):
+    for k in _SWEEP_KNOBS:
         os.environ.pop(k, None)
     return out
 

@@ -272,6 +272,10 @@ def main():
     for mode, sample in (("deterministic", False), ("sampled", True)):
         if mode not in wanted:
             continue
+        if mode in results and "max_rel_divergence" in results[mode]:
+            print(f"{mode}: already complete in incremental json — skipped",
+                  flush=True)
+            continue
         sd0, t_curves = run_torch(data, cfg, vcfg, tcfg, sample)
         j_curves = run_jax(data, cfg, vcfg, tcfg, sd0, sample)
         results[mode] = {"torch": t_curves, "jax": j_curves}
