@@ -1,0 +1,218 @@
+"""Ring attention: cross-chip context parallelism over the spatial sequence.
+
+SURVEY.md §2.6/§5 list sequence parallelism as the one strategy the
+reference cannot express at all (its chunked attention,
+lunar_evaluator.py:119-227, is a single-device *memory* tactic) and which
+this framework documented as an extension; this module implements it.
+
+The sequence axis N = H*W (16384 at the 128px flagship) is sharded over a
+mesh axis. Each device holds a q/k/v/bias shard of N/p tokens; k/v/bias
+chunks rotate around the ring via `lax.ppermute` while every device
+accumulates its q-shard's attention over all N keys with the standard
+online-softmax (flash) recurrence carried ACROSS ring steps. Per-chip
+attention FLOPs and score memory drop by 1/p; the wire cost per step is the
+k/v chunk (2*B*H*d*N/p elements), which rides ICI concurrently with the
+next chunk's compute in XLA's pipelined schedule.
+
+Numerics: accumulation is f32; the recurrence is the same blockwise form as
+`ops.attention.flash_attention_xla`, so outputs match the single-device
+path to roundoff (pinned by tests/test_ring_attention.py on the 8-virtual-
+device mesh).
+
+Dropout: the kernel family's stateless hash mask (ops/pallas/
+flash_attention.py `_keep_mask`) depends only on (row_seed, ABSOLUTE k,
+ABSOLUTE q), so every device regenerates bit-identical decisions for its
+(q-shard x rotating-k-chunk) tiles — the ring decomposition cannot desync
+dropout between devices or between forward and recompute, for the same
+reason the Pallas forward/backward tilings cannot (r1 desync post-mortem).
+Masks here are BIT-IDENTICAL to the Pallas kernel's for the same seed:
+parity is asserted against the kernel's own `_hash_mask` in tests.
+
+Gradients flow through `lax.ppermute` (its transpose is the inverse
+rotation) and the scan; each ring step's score tiles are rematerialized in
+backward (`jax.checkpoint` on the chunk step), so residual memory stays
+O(B*H*N_local*d) per device instead of O(N_local*N).
+
+Usage (inside or outside jit):
+
+    spec = P(None, None, 'seq', None)
+    out = ring_attention_sharded(q, k, v, bias, mesh=mesh, axis='seq',
+                                 dropout_rate=0.1, seed=seed)
+
+or call `ring_attention` directly inside an existing `shard_map` region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lunaris_orion_tpu.ops.pallas.flash_attention import _C1, _C2, _C3
+
+try:  # jax >= 0.4.35 exposes shard_map at jax.experimental.shard_map
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover - newer layout
+    from jax.shard_map import shard_map  # type: ignore
+
+
+def _keep_mask_qk(row_seed: jax.Array, q0: jax.Array, k0: jax.Array,
+                  nq: int, nk: int, keep_prob: float) -> jax.Array:
+    """[..., nq, nk] boolean keep-mask, bit-identical per element to the
+    Pallas kernel's `_keep_mask` (which builds [bk, bq] tiles — this is the
+    q-major transpose of the same hash). row_seed: [..., 1, 1] int32
+    (seed ^ (b*H + h) * C1, matching `_row_seeds`); q0/k0: absolute offsets
+    of this tile. int32 arithmetic wraps in XLA exactly as in Mosaic."""
+    kcol = (row_seed
+            + (k0 + lax.broadcasted_iota(jnp.int32, (1, nk), 1))
+            * jnp.int32(_C2))
+    qrow = ((q0 + lax.broadcasted_iota(jnp.int32, (nq, 1), 0))
+            * jnp.int32(_C3))
+    h = kcol + qrow
+    h = h ^ lax.shift_right_logical(h, 15)
+    h = h * jnp.int32(_C2)
+    threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
+    return lax.bitcast_convert_type(h, jnp.uint32) < threshold
+
+
+def _row_seed_bh(seed: jax.Array, b: int, h: int) -> jax.Array:
+    """[B, H, 1, 1] int32 per-(batch, head) seed, matching `_row_seeds`'s
+    seed ^ row*C1 with row = b*H + h (the kernel's flattened BH order)."""
+    rows = lax.broadcasted_iota(jnp.int32, (b, h, 1, 1), 0) * h \
+        + lax.broadcasted_iota(jnp.int32, (b, h, 1, 1), 1)
+    return seed.astype(jnp.int32) ^ (rows * jnp.int32(_C1))
+
+
+def _accum_chunk(acc, m, l, q32, k_chunk, v_chunk, bias_chunk, *,
+                 q0: jax.Array, k0: jax.Array, scale: float,
+                 block_k: int, dropout_rate: float,
+                 row_seed: Optional[jax.Array]):
+    """Fold one kv chunk into the online-softmax carry (acc, m, l).
+
+    q32: [B,H,nl,d] f32 (pre-cast); k/v_chunk: [B,H,nc,d]; bias_chunk:
+    [H,nc] or None; q0/k0: absolute token offsets of the q shard / this kv
+    chunk (k0 is a traced scalar — it changes per ring step).
+    Scans block_k-sized sub-blocks so score tiles stay [B,H,nl,block_k];
+    each sub-block is checkpointed (recomputed in backward)."""
+    bq = q32.shape[2]
+    nc = k_chunk.shape[2]
+    bk = min(block_k, nc)
+    while nc % bk != 0:
+        bk -= 1
+    nkb = nc // bk
+    kb = jnp.moveaxis(
+        k_chunk.reshape(*k_chunk.shape[:2], nkb, bk, k_chunk.shape[3]),
+        2, 0)  # [nkb,B,H,bk,d]
+    vb = jnp.moveaxis(
+        v_chunk.reshape(*v_chunk.shape[:2], nkb, bk, v_chunk.shape[3]),
+        2, 0)
+    bias_b = (None if bias_chunk is None
+              else jnp.moveaxis(
+                  bias_chunk.reshape(bias_chunk.shape[0], nkb, bk), 1, 0))
+
+    @jax.checkpoint
+    def sub_step(carry, inputs):
+        acc, m, l = carry
+        j, k_blk, v_blk = inputs
+        s = jnp.einsum("bhqd,bhkd->bhqk", q32,
+                       k_blk.astype(jnp.float32)) * scale
+        if bias_b is not None:
+            s = s + bias_b[j][None, :, None, :].astype(jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0 and row_seed is not None:
+            keep = _keep_mask_qk(row_seed, q0, k0 + j * bk, bq, bk,
+                                 1.0 - dropout_rate)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        acc_new = acc * corr + jnp.einsum("bhqk,bhkd->bhqd", p,
+                                          v_blk.astype(jnp.float32))
+        return (acc_new, m_new, l_new), None
+
+    (acc, m, l), _ = lax.scan(sub_step, (acc, m, l),
+                              (jnp.arange(nkb), kb, vb))
+    return acc, m, l
+
+
+def ring_attention(q, k, v, bias, *, axis_name: str,
+                   dropout_rate: float = 0.0,
+                   seed: Optional[jax.Array] = None,
+                   block_k: int = 512) -> jax.Array:
+    """Per-shard ring attention body — call INSIDE shard_map/pmap.
+
+    q, k, v: [B, H, N/p, d] — this device's shard of the token axis.
+    bias: [H, N/p] per-key additive bias shard, or None.
+    Returns the local output shard [B, H, N/p, d] of
+    softmax(q k_full^T * d^-0.5 + bias_full) v_full (+ optional hash-mask
+    prob dropout, identical to the Pallas kernel's for the same seed).
+    """
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    b, h, nl, d = q.shape
+    scale = d ** -0.5
+    orig = q.dtype
+    q32 = q.astype(jnp.float32)
+    q0 = idx * nl
+
+    row_seed = None
+    if dropout_rate > 0.0 and seed is not None:
+        row_seed = _row_seed_bh(jnp.asarray(seed, jnp.int32).reshape(()),
+                                b, h)
+
+    acc0 = jnp.zeros((b, h, nl, d), jnp.float32)
+    m0 = jnp.full((b, h, nl, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, nl, 1), jnp.float32)
+    # receive-from-right rotation: after s steps device i holds the chunk
+    # that originated on device (i + s) % p
+    perm = [(int((i + 1) % p), int(i)) for i in range(p)]
+
+    def ring_step(carry, _):
+        acc, m, l, kc, vc, bc, src = carry
+        k0 = src * nl
+        acc, m, l = _accum_chunk(
+            acc, m, l, q32, kc, vc, bc, q0=q0, k0=k0, scale=scale,
+            block_k=block_k, dropout_rate=dropout_rate, row_seed=row_seed)
+        kc = lax.ppermute(kc, axis_name, perm)
+        vc = lax.ppermute(vc, axis_name, perm)
+        if bc is not None:
+            bc = lax.ppermute(bc, axis_name, perm)
+        src = (src + 1) % p
+        return (acc, m, l, kc, vc, bc, src), None
+
+    (acc, _, l, _, _, _, _), _ = lax.scan(
+        ring_step, (acc0, m0, l0, k, v, bias, idx), None, length=p)
+    return (acc / jnp.maximum(l, 1e-30)).astype(orig)
+
+
+def ring_attention_sharded(q, k, v, bias, *, mesh: Mesh, axis: str,
+                           dropout_rate: float = 0.0,
+                           seed: Optional[jax.Array] = None,
+                           block_k: int = 512) -> jax.Array:
+    """Global-view convenience wrapper: shard q/k/v[B,H,N,d] and bias[H,N]
+    on the token axis over `axis` and run the ring. Composable under jit —
+    GSPMD inserts any reshards the in_specs demand."""
+    spec_qkv = P(None, None, axis, None)
+    has_bias = bias is not None
+    in_specs = (spec_qkv, spec_qkv, spec_qkv,
+                P(None, axis) if has_bias else None)
+
+    if has_bias:
+        fn = functools.partial(ring_attention, axis_name=axis,
+                               dropout_rate=dropout_rate, seed=seed,
+                               block_k=block_k)
+        return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=spec_qkv, check_rep=False)(q, k, v, bias)
+
+    def fn_nobias(q, k, v):
+        return ring_attention(q, k, v, None, axis_name=axis,
+                              dropout_rate=dropout_rate, seed=seed,
+                              block_k=block_k)
+
+    return shard_map(fn_nobias, mesh=mesh,
+                     in_specs=(spec_qkv, spec_qkv, spec_qkv),
+                     out_specs=spec_qkv, check_rep=False)(q, k, v)

@@ -1,0 +1,189 @@
+"""Ring attention (cross-chip context parallelism) parity tests.
+
+Runs on the 8-virtual-device CPU mesh (conftest). The single-device
+references are `ops.attention.full_attention` (no dropout) and a dense
+softmax with the kernel family's hash mask (dropout), so these tests pin:
+  * output parity ring(p=8) == single-device attention,
+  * gradient parity through ppermute + the checkpointed scan,
+  * shard-count invariance (p=2 vs p=8),
+  * bit-identical dropout decisions vs the Pallas kernel's `_keep_mask`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lunaris_orion_tpu.ops import attention
+from lunaris_orion_tpu.ops.pallas import flash_attention as fa
+from lunaris_orion_tpu.parallel import ring_attention as ra
+
+
+def _mesh(n, name="seq"):
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(n), (name,))
+
+
+def _qkvb(key, b=2, h=2, n=64, d=4, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (b, h, n, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, n, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, n, d), dtype)
+    bias = (jax.random.normal(ks[3], (h, n), jnp.float32) * 0.1)
+    return q, k, v, bias
+
+
+class TestRingParity:
+    def test_matches_full_attention(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(0))
+        ref = attention.full_attention(q, k, v, bias)
+        out = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8),
+                                        axis="seq")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_no_bias(self):
+        q, k, v, _ = _qkvb(jax.random.PRNGKey(1))
+        ref = attention.full_attention(q, k, v, None)
+        out = ra.ring_attention_sharded(q, k, v, None, mesh=_mesh(8),
+                                        axis="seq")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_bf16_io(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(2), dtype=jnp.bfloat16)
+        ref = attention.full_attention(q, k, v, bias)
+        out = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8),
+                                        axis="seq")
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
+
+    def test_shard_count_invariance(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(3))
+        o2 = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(2),
+                                       axis="seq")
+        o8 = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8),
+                                       axis="seq")
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o8),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_gradients_match_full_attention(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(4))
+        cot = jax.random.normal(jax.random.PRNGKey(5), q.shape)
+
+        def loss(fn):
+            def inner(q, k, v, bias):
+                return jnp.sum(fn(q, k, v, bias) * cot)
+            return inner
+
+        g_ref = jax.grad(loss(lambda *a: attention.full_attention(*a)),
+                         argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ring = jax.grad(
+            loss(lambda *a: ra.ring_attention_sharded(
+                *a, mesh=_mesh(8), axis="seq")),
+            argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for gr, gg, name in zip(g_ref, g_ring, "qkvb"):
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(gr), rtol=5e-5, atol=1e-5,
+                err_msg=f"grad mismatch for {name}")
+
+    def test_under_jit_with_sharded_inputs(self):
+        mesh = _mesh(8)
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(6))
+        sh = NamedSharding(mesh, P(None, None, "seq", None))
+        qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+        @jax.jit
+        def f(q, k, v, bias):
+            return ra.ring_attention_sharded(q, k, v, bias, mesh=mesh,
+                                             axis="seq")
+
+        out = f(qs, ks, vs, bias)
+        ref = attention.full_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+
+class TestRingDropout:
+    def test_mask_bit_identical_to_kernel(self):
+        """_keep_mask_qk must be the q-major transpose of the Pallas
+        kernel's _keep_mask for the same (row_seed, offsets)."""
+        seed = jnp.int32(1234)
+        rs_kernel = jnp.int32(5678)
+        kp = 0.9
+        m_kernel = fa._keep_mask(rs_kernel, 16, 32, (8, 12), kp)  # [bk, bq]
+        m_ring = ra._keep_mask_qk(rs_kernel.reshape(1, 1, 1, 1),
+                                  jnp.int32(32), jnp.int32(16),
+                                  12, 8, kp)[0, 0]                # [nq, nk]
+        np.testing.assert_array_equal(np.asarray(m_kernel).T,
+                                      np.asarray(m_ring))
+        # row-seed derivation matches _row_seeds' seed ^ (b*H + h)*C1
+        rs = ra._row_seed_bh(seed, 2, 3)
+        rows = fa._row_seeds(seed, 6)[:, 0, 0]
+        np.testing.assert_array_equal(np.asarray(rs).reshape(6),
+                                      np.asarray(rows))
+
+    def test_dropout_matches_dense_hash_reference(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(7))
+        seed = jnp.int32(99)
+        rate = 0.25
+        b, h, n, d = q.shape
+
+        # dense reference with the same hash mask, torch normalization
+        # semantics (l from undropped probabilities)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5)
+        s = s + bias[None, :, None, :]
+        p = jax.nn.softmax(s, axis=-1)
+        keep = ra._keep_mask_qk(ra._row_seed_bh(seed, b, h),
+                                jnp.int32(0), jnp.int32(0), n, n,
+                                1.0 - rate)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        out = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8),
+                                        axis="seq", dropout_rate=rate,
+                                        seed=seed)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_dropout_shard_count_invariant(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(8))
+        kw = dict(axis="seq", dropout_rate=0.25, seed=jnp.int32(7))
+        o2 = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(2), **kw)
+        o8 = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8), **kw)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o8),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_dropout_grads_finite_and_match_dense(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(9))
+        seed = jnp.int32(3)
+        rate = 0.25
+        b, h, n, d = q.shape
+
+        def dense(q, k, v, bias):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (d ** -0.5)
+            s = s + bias[None, :, None, :]
+            p = jax.nn.softmax(s, axis=-1)
+            keep = ra._keep_mask_qk(ra._row_seed_bh(seed, b, h),
+                                    jnp.int32(0), jnp.int32(0), n, n,
+                                    1.0 - rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        def ring(q, k, v, bias):
+            return ra.ring_attention_sharded(
+                q, k, v, bias, mesh=_mesh(8), axis="seq",
+                dropout_rate=rate, seed=seed)
+
+        cot = jax.random.normal(jax.random.PRNGKey(10), q.shape)
+        g_ref = jax.grad(lambda *a: jnp.sum(dense(*a) * cot),
+                         argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_ring = jax.grad(lambda *a: jnp.sum(ring(*a) * cot),
+                          argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for gr, gg, name in zip(g_ref, g_ring, "qkvb"):
+            assert np.isfinite(np.asarray(gg)).all()
+            np.testing.assert_allclose(
+                np.asarray(gg), np.asarray(gr), rtol=5e-5, atol=1e-5,
+                err_msg=f"grad mismatch for {name}")
