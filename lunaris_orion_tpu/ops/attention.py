@@ -205,12 +205,21 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                                 train: bool = False,
                                 impl: str = "auto",
                                 block_q: int = 256,
-                                block_k: int = 1024) -> jax.Array:
+                                block_k: int = 1024,
+                                cp_mesh=None,
+                                cp_axis: Optional[str] = None) -> jax.Array:
     """Full PixelArtAttention module: qkv -> blockwise attn(+rel-pos) -> proj.
 
-    `impl`: 'auto' | 'full' | 'flash'. Dropout is applied to attention
-    probabilities and to the projected output, as in the reference
-    (lunar_evaluator.py:139-140,211-225).
+    `impl`: 'auto' | 'full' | 'flash' | 'pallas' | 'ring'. Dropout is
+    applied to attention probabilities and to the projected output, as in
+    the reference (lunar_evaluator.py:139-140,211-225).
+
+    impl='ring' (requires cp_mesh + cp_axis) shards the token axis N = H*W
+    over the mesh axis and runs cross-chip ring attention
+    (parallel/ring_attention.py) — context parallelism the reference cannot
+    express. Not usable from inside the teacher's expert vmap (shard_map
+    under vmap); intended for non-vmapped call sites and images whose N
+    exceeds one chip's attention budget.
     """
     b, h, w, c = x.shape
     n = h * w
@@ -263,7 +272,24 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                 f"{mod} (Mosaic sublane tiling for {q.dtype}); use a "
                 "feature_dim whose head_dim satisfies this, or "
                 "use_pallas=None/False")
-    if impl == "full":
+    if impl == "ring":
+        if cp_mesh is None or cp_axis is None:
+            raise ValueError("impl='ring' needs cp_mesh and cp_axis")
+        if n % cp_mesh.shape[cp_axis] != 0:
+            raise ValueError(
+                f"impl='ring': N={n} not divisible by mesh axis "
+                f"{cp_axis!r} size {cp_mesh.shape[cp_axis]}")
+        from lunaris_orion_tpu.parallel.ring_attention import (
+            ring_attention_sharded)
+        seed = None
+        rate = 0.0
+        if drop_active:
+            rate = dropout_rate
+            seed = jax.random.randint(attn_rng, (), 0, 2**31 - 1, jnp.int32)
+        out = ring_attention_sharded(q, k, v, bias, mesh=cp_mesh,
+                                     axis=cp_axis, dropout_rate=rate,
+                                     seed=seed)
+    elif impl == "full":
         out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
                              rng=attn_rng, train=train)
     elif impl == "pallas":

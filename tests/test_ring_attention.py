@@ -106,6 +106,37 @@ class TestRingParity:
                                    rtol=2e-5, atol=2e-6)
 
 
+class TestModuleRingImpl:
+    """spatial_attention_reference(impl='ring'): the full module (qkv +
+    rel-pos bias + proj) over the sharded token axis must match the
+    single-device impl='full' path."""
+
+    def test_module_parity_eval(self):
+        key = jax.random.PRNGKey(11)
+        p = attention.attention_init(key, 32, num_heads=4)
+        x = jax.random.normal(jax.random.PRNGKey(12), (2, 8, 8, 32))
+        ref = attention.spatial_attention_reference(
+            p, x, num_heads=4, impl="full")
+        out = attention.spatial_attention_reference(
+            p, x, num_heads=4, impl="ring", cp_mesh=_mesh(8),
+            cp_axis="seq")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_ring_requires_mesh_and_divisibility(self):
+        p = attention.attention_init(jax.random.PRNGKey(13), 32,
+                                     num_heads=4)
+        x = jax.random.normal(jax.random.PRNGKey(14), (1, 8, 8, 32))
+        with pytest.raises(ValueError, match="cp_mesh"):
+            attention.spatial_attention_reference(
+                p, x, num_heads=4, impl="ring")
+        x_bad = jax.random.normal(jax.random.PRNGKey(15), (1, 6, 7, 32))
+        with pytest.raises(ValueError, match="not divisible"):
+            attention.spatial_attention_reference(
+                p, x_bad, num_heads=4, impl="ring", cp_mesh=_mesh(8),
+                cp_axis="seq")
+
+
 class TestRingDropout:
     def test_mask_bit_identical_to_kernel(self):
         """_keep_mask_qk must be the q-major transpose of the Pallas
