@@ -9,7 +9,8 @@ import json
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Score images with the MoE quality teacher")
-    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="checkpoint directory or a reference .pt file")
     p.add_argument("--input", type=str, required=True,
                    help="directory of PNGs and/or sprites_*.npy shards")
     p.add_argument("--output", type=str, default=None,

@@ -11,7 +11,8 @@ import argparse
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Generate pixel art from a checkpoint")
     p.add_argument("--checkpoint", type=str, required=True,
-                   help="checkpoint directory (output_dir/checkpoints)")
+                   help="checkpoint directory (output_dir/checkpoints) or a "
+                        "reference .pt file (converted on the fly)")
     p.add_argument("--prompt", type=str, default="",
                    help="recorded in metadata (unconditional decoder)")
     p.add_argument("--num_samples", type=int, default=4)

@@ -26,7 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dir with sprites_*.npy + labels_*.csv")
     g.add_argument("--output_dir", type=str, default=d.output_dir)
     g.add_argument("--resume_from", type=str, default=None,
-                   help="checkpoint dir to resume from")
+                   help="checkpoint dir to resume from, or a reference "
+                        ".pt file (full mid-training migration: params, "
+                        "BN stats, Adam moments, schedule position)")
 
     g = p.add_argument_group("training")
     g.add_argument("--batch_size", type=int, default=d.batch_size)

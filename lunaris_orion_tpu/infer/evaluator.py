@@ -22,21 +22,40 @@ from lunaris_orion_tpu.models import teacher as teacher_mod
 class QualityEvaluator:
     def __init__(self, checkpoint_dir: str, *, best: bool = False,
                  config: Optional[TrainConfig] = None):
-        from lunaris_orion_tpu.train.checkpoint import CheckpointService
-        from lunaris_orion_tpu.train.state import create_state
+        if str(checkpoint_dir).endswith(".pt"):
+            # Reference torch checkpoints score directly (weights via
+            # utils.torch_compat, config from the vars(args) snapshot).
+            import torch
+            from lunaris_orion_tpu.utils import torch_compat
 
-        ckpt = CheckpointService(checkpoint_dir)
-        self.cfg = config or ckpt.load_config()
-        if self.cfg is None:
-            raise FileNotFoundError(
-                f"no config.json beside checkpoints in {checkpoint_dir}")
-        self.tcfg = self.cfg.teacher_config()
-        abstract = jax.eval_shape(
-            lambda k: create_state(k, self.cfg, self.cfg.vae_config(),
-                                   self.tcfg), jax.random.PRNGKey(0))
-        state = ckpt.restore(abstract, best=best)
-        self.params = state.teacher_params
-        self.stats = state.teacher_stats
+            ckpt_pt = torch.load(checkpoint_dir, map_location="cpu",
+                                 weights_only=True)
+            self.cfg = config or (
+                torch_compat.train_config_from_reference_args(
+                    ckpt_pt["args"]) if "args" in ckpt_pt else TrainConfig())
+            self.tcfg = self.cfg.teacher_config()
+            loaded = torch_compat.load_full_torch_checkpoint(
+                str(checkpoint_dir), self.cfg.vae_config(), self.tcfg)
+            self.params = jax.tree_util.tree_map(
+                jnp.asarray, loaded["teacher_params"])
+            self.stats = jax.tree_util.tree_map(
+                jnp.asarray, loaded["teacher_stats"])
+        else:
+            from lunaris_orion_tpu.train.checkpoint import CheckpointService
+            from lunaris_orion_tpu.train.state import create_state
+
+            ckpt = CheckpointService(checkpoint_dir)
+            self.cfg = config or ckpt.load_config()
+            if self.cfg is None:
+                raise FileNotFoundError(
+                    f"no config.json beside checkpoints in {checkpoint_dir}")
+            self.tcfg = self.cfg.teacher_config()
+            abstract = jax.eval_shape(
+                lambda k: create_state(k, self.cfg, self.cfg.vae_config(),
+                                       self.tcfg), jax.random.PRNGKey(0))
+            state = ckpt.restore(abstract, best=best)
+            self.params = state.teacher_params
+            self.stats = state.teacher_stats
         tcfg = self.tcfg
 
         @jax.jit

@@ -35,25 +35,49 @@ class ImageGenerator:
 
     def __init__(self, checkpoint_dir: str, *, best: bool = False,
                  config: Optional[TrainConfig] = None):
-        from lunaris_orion_tpu.train.checkpoint import CheckpointService
-        from lunaris_orion_tpu.train.state import create_state
+        if str(checkpoint_dir).endswith(".pt"):
+            # A reference torch checkpoint works directly: weights convert
+            # via utils.torch_compat, the model config comes from the
+            # checkpoint's own vars(args) snapshot (train_hybrid.py:605).
+            import torch
+            from lunaris_orion_tpu.utils import torch_compat
 
-        self.ckpt = CheckpointService(checkpoint_dir)
-        self.cfg = config or self.ckpt.load_config()
-        if self.cfg is None:
-            raise FileNotFoundError(
-                f"no config.json beside checkpoints in {checkpoint_dir}")
-        self.vcfg = self.cfg.vae_config()
-        self.tcfg = self.cfg.teacher_config()
+            ckpt = torch.load(checkpoint_dir, map_location="cpu",
+                              weights_only=True)
+            self.cfg = config or (
+                torch_compat.train_config_from_reference_args(ckpt["args"])
+                if "args" in ckpt else TrainConfig())
+            self.vcfg = self.cfg.vae_config()
+            self.tcfg = self.cfg.teacher_config()
+            loaded = torch_compat.load_full_torch_checkpoint(
+                str(checkpoint_dir), self.vcfg, self.tcfg)
+            self.vae_params = jax.tree_util.tree_map(
+                jnp.asarray, loaded["vae_params"])
+            self.teacher_params = jax.tree_util.tree_map(
+                jnp.asarray, loaded["teacher_params"])
+            self.teacher_stats = jax.tree_util.tree_map(
+                jnp.asarray, loaded["teacher_stats"])
+            self.step = loaded["global_step"]
+        else:
+            from lunaris_orion_tpu.train.checkpoint import CheckpointService
+            from lunaris_orion_tpu.train.state import create_state
 
-        abstract = jax.eval_shape(
-            lambda k: create_state(k, self.cfg, self.vcfg, self.tcfg),
-            jax.random.PRNGKey(0))
-        state = self.ckpt.restore(abstract, best=best)
-        self.vae_params = state.vae_params
-        self.teacher_params = state.teacher_params
-        self.teacher_stats = state.teacher_stats
-        self.step = int(state.step)
+            self.ckpt = CheckpointService(checkpoint_dir)
+            self.cfg = config or self.ckpt.load_config()
+            if self.cfg is None:
+                raise FileNotFoundError(
+                    f"no config.json beside checkpoints in {checkpoint_dir}")
+            self.vcfg = self.cfg.vae_config()
+            self.tcfg = self.cfg.teacher_config()
+
+            abstract = jax.eval_shape(
+                lambda k: create_state(k, self.cfg, self.vcfg, self.tcfg),
+                jax.random.PRNGKey(0))
+            state = self.ckpt.restore(abstract, best=best)
+            self.vae_params = state.vae_params
+            self.teacher_params = state.teacher_params
+            self.teacher_stats = state.teacher_stats
+            self.step = int(state.step)
 
         vcfg, tcfg = self.vcfg, self.tcfg
 

@@ -162,7 +162,19 @@ class Trainer:
         # --- state: fresh or resume ----------------------------------------
         self.ckpt = CheckpointService(str(self.out_dir / "checkpoints"),
                                       keep_n=cfg.keep_n_checkpoints)
-        if cfg.resume_from:
+        if cfg.resume_from and cfg.resume_from.endswith(".pt"):
+            # Mid-training migration from a reference torch checkpoint
+            # (train_hybrid.py:594-615): params, BN stats, both Adam
+            # m/v/step and the schedule position all carry over; the RL
+            # baseline resets exactly as a reference resume does.
+            from lunaris_orion_tpu.utils import torch_compat
+            host_state = torch_compat.train_state_from_torch_checkpoint(
+                cfg.resume_from, cfg, vcfg=self.vcfg, tcfg=self.tcfg)
+            self.state = jax.device_put(host_state, self.shardings)
+            self.logger.info("Resumed from reference checkpoint %s at "
+                             "step %d", cfg.resume_from,
+                             int(self.state.step))
+        elif cfg.resume_from:
             resume = CheckpointService(cfg.resume_from,
                                        keep_n=cfg.keep_n_checkpoints) \
                 if Path(cfg.resume_from).absolute() != (self.out_dir / "checkpoints").absolute() \

@@ -330,27 +330,41 @@ def teacher_state_dict_to_torch(params: Dict, stats: Dict,
     _cbn_to(out, f"{fx}.fusion.0", f"{fx}.fusion.2", ep["fusion"],
             es["fusion"])
 
-    for li in range(cfg.expert_layers):
-        lp = params["experts"][f"layer{li}"]
-        ls = stats["experts"][f"layer{li}"]
-        for e in range(cfg.num_experts):
+    # Key insertion ORDER matters beyond cosmetics: the reference's AdamW
+    # states are indexed by `model.parameters()` position, and
+    # adam_to_torch_opt_sd derives that order from this dict via
+    # _param_key_order. Iterate expert-major and mirror the ExpertBlock's
+    # exact registration order (layer_scale, conv1, attention[rel_pos_h,
+    # rel_pos_w, last_spatial_shapes, qkv, proj], conv2, shortcut) so the
+    # exported moments land on the right reference parameters
+    # (lunar_evaluator.py ExpertBlock.__init__; verified strict against
+    # the real module in tests/test_reference_interop.py).
+    for e in range(cfg.num_experts):
+        for li in range(cfg.expert_layers):
+            lp = params["experts"][f"layer{li}"]
+            ls = stats["experts"][f"layer{li}"]
             bp, bs = _unstack(lp, e), _unstack(ls, e)
             t = f"experts.{e}.{li}"
+            out[f"{t}.layer_scale"] = \
+                _np(bp["layer_scale"]).reshape(1, -1, 1, 1)
             _cbn_to(out, f"{t}.conv1.0", f"{t}.conv1.2", bp["conv1"],
                     bs["conv1"])
-            _cbn_to(out, f"{t}.conv2.0", f"{t}.conv2.2", bp["conv2"],
-                    bs["conv2"])
-            _conv_to(out, f"{t}.attention.qkv", bp["attn"]["qkv"])
-            _conv_to(out, f"{t}.attention.proj", bp["attn"]["proj"])
             out[f"{t}.attention.rel_pos_h"] = \
                 _np(bp["attn"]["rel_pos_h"])[None, :, :, None]
             out[f"{t}.attention.rel_pos_w"] = \
                 _np(bp["attn"]["rel_pos_w"])[None, :, None, :]
+            # Cache-validity buffer (lunar_evaluator.py:144): zeros = a
+            # fresh module's state, forcing rel-pos cache recompute on the
+            # first forward after restore. Required for strict=True loads.
+            out[f"{t}.attention.last_spatial_shapes"] = \
+                np.zeros(2, np.float32)
+            _conv_to(out, f"{t}.attention.qkv", bp["attn"]["qkv"])
+            _conv_to(out, f"{t}.attention.proj", bp["attn"]["proj"])
+            _cbn_to(out, f"{t}.conv2.0", f"{t}.conv2.2", bp["conv2"],
+                    bs["conv2"])
             if "shortcut" in bp:
                 _cbn_to(out, f"{t}.shortcut.0", f"{t}.shortcut.1",
                         bp["shortcut"], bs["shortcut"])
-            out[f"{t}.layer_scale"] = \
-                _np(bp["layer_scale"]).reshape(1, -1, 1, 1)
 
     _mlp_to(out, "gate", params["gate"])
     for e in range(cfg.num_experts):
@@ -402,3 +416,333 @@ def load_full_torch_checkpoint(path: str, vcfg: VAEConfig,
         out["teacher_params"] = tp
         out["teacher_stats"] = ts
     return out
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state interop — mid-training migration in both directions
+# ---------------------------------------------------------------------------
+# The reference checkpoints its two torch.optim.AdamW states and two
+# CosineAnnealingWarmRestarts scheduler states (train_hybrid.py:594-615) and
+# restores all four on resume (:835-846).  Params-only conversion would
+# restart Adam's moments from zero and the LR schedule from step 0 — a
+# visible loss bump on migration.  These functions convert the full
+# optimizer state: torch exp_avg/exp_avg_sq map onto optax's
+# ScaleByAdamState mu/nu (the per-tensor layout transforms are the same
+# pure permutations as the weights, so moment tensors convert with the
+# weight converters), the shared step count maps onto every optax count
+# (Adam bias correction AND the closed-form cosine-warm-restart schedule
+# position — both sides step their scheduler once per optimizer step).
+
+# Non-Parameter state_dict entries: BatchNorm stats plus the reference
+# attention's rel-pos interpolation cache (registered buffers at
+# lunar_evaluator.py:143-144; rel_pos_cache only appears in checkpoints
+# saved after a forward has populated it).
+_BUFFER_SUFFIXES = ("running_mean", "running_var", "num_batches_tracked",
+                    "last_spatial_shapes", "rel_pos_cache")
+
+
+def _param_key_order(model_sd: Mapping) -> list:
+    """state_dict keys that are Parameters, in registration order.
+
+    torch's `model.parameters()` (the order AdamW indexes its state by,
+    train_hybrid.py:504-515) enumerates in the same registration order as
+    `state_dict()`, minus the BatchNorm buffers."""
+    return [k for k in model_sd if not k.endswith(_BUFFER_SUFFIXES)]
+
+
+def _torch_opt_order(opt_sd: Mapping) -> list:
+    """Parameter indices in the optimizer's construction order."""
+    return [i for g in opt_sd["param_groups"] for i in g["params"]]
+
+
+def _overlay_opt_field(model_sd: Mapping, opt_sd: Mapping,
+                       field: str) -> Dict:
+    """model_sd with each Parameter replaced by its optimizer moment
+    (`exp_avg` or `exp_avg_sq`); buffers kept.  Feeding the result through
+    the weight converters yields the moment tree in this package's layout.
+    Params the optimizer has not touched yet (torch creates state lazily on
+    first step) become zeros — exactly torch's effective initial state."""
+    keys = _param_key_order(model_sd)
+    order = _torch_opt_order(opt_sd)
+    if len(order) != len(keys):
+        raise ValueError(
+            f"optimizer state covers {len(order)} params but the model has "
+            f"{len(keys)} — checkpoint/model mismatch")
+    state = opt_sd.get("state", {})
+    out = dict(model_sd)
+    for k, idx in zip(keys, order):
+        ent = state.get(idx, state.get(str(idx)))
+        if ent is not None and field in ent:
+            out[k] = np.asarray(ent[field], np.float32)
+        else:
+            out[k] = np.zeros_like(np.asarray(model_sd[k], np.float32))
+    return out
+
+
+def torch_adam_step_count(opt_sd: Mapping) -> int:
+    """AdamW's per-param 'step' (identical across params under the
+    reference's every-param-every-step training)."""
+    for ent in opt_sd.get("state", {}).values():
+        if "step" in ent:
+            return int(ent["step"])
+    return 0
+
+
+def _map_adam_states(opt_state, fn):
+    """Rebuild an optax state pytree, transforming the stateful nodes via
+    fn(node) (nodes are NamedTuples; containers are tuples/lists)."""
+    def rec(s):
+        name = type(s).__name__
+        if name in ("ScaleByAdamState", "ScaleByScheduleState"):
+            return fn(s)
+        if isinstance(s, tuple):
+            vals = [rec(x) for x in s]
+            return type(s)(*vals) if hasattr(s, "_fields") else tuple(vals)
+        if isinstance(s, list):
+            return [rec(x) for x in s]
+        return s
+    return rec(opt_state)
+
+
+def inject_adam_state(opt_state, mu, nu, count: int):
+    """Return opt_state with ScaleByAdamState(mu, nu, count) and every
+    schedule count set — dtypes/structure cast to match the template (so
+    e.g. bf16_momentum mu dtype is respected)."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast_like(template, tree):
+        return jax.tree_util.tree_map(
+            lambda t, x: jnp.asarray(x, t.dtype), template, tree)
+
+    def fn(s):
+        if type(s).__name__ == "ScaleByAdamState":
+            return s._replace(count=jnp.asarray(count, s.count.dtype),
+                              mu=cast_like(s.mu, mu),
+                              nu=cast_like(s.nu, nu))
+        return s._replace(count=jnp.asarray(count, s.count.dtype))
+
+    return _map_adam_states(opt_state, fn)
+
+
+def extract_adam_state(opt_state):
+    """(mu, nu, count) out of an optax chain state."""
+    found: Dict = {}
+
+    def fn(s):
+        if type(s).__name__ == "ScaleByAdamState":
+            found["mu"], found["nu"] = s.mu, s.nu
+            found["count"] = int(s.count)
+        return s
+
+    _map_adam_states(opt_state, fn)
+    if "mu" not in found:
+        raise ValueError("no ScaleByAdamState in optimizer state")
+    return found["mu"], found["nu"], found["count"]
+
+
+def vae_adam_from_torch(opt_sd: Mapping, model_sd: Mapping, cfg: VAEConfig):
+    """torch AdamW state_dict -> (mu, nu, count) in this package's layout."""
+    mu = vae_params_from_torch(_overlay_opt_field(model_sd, opt_sd,
+                                                  "exp_avg"), cfg)
+    nu = vae_params_from_torch(_overlay_opt_field(model_sd, opt_sd,
+                                                  "exp_avg_sq"), cfg)
+    return mu, nu, torch_adam_step_count(opt_sd)
+
+
+def teacher_adam_from_torch(opt_sd: Mapping, model_sd: Mapping,
+                            cfg: TeacherConfig):
+    mu, _ = teacher_params_from_torch(_overlay_opt_field(model_sd, opt_sd,
+                                                         "exp_avg"), cfg)
+    nu, _ = teacher_params_from_torch(_overlay_opt_field(model_sd, opt_sd,
+                                                         "exp_avg_sq"), cfg)
+    return mu, nu, torch_adam_step_count(opt_sd)
+
+
+def _torch_adamw_param_group(n_params: int, *, base_lr: float,
+                             current_lr: float,
+                             weight_decay: float) -> Dict:
+    """A param_group dict carrying the hyperparameters the reference's
+    AdamW would save (train_hybrid.py:504-515), defaults taken from a live
+    torch.optim.AdamW so the key set tracks the installed torch version.
+
+    `lr` must be the *scheduled* LR at the export step (torch's scheduler
+    writes it into param_groups every step, and Optimizer.load_state_dict
+    replaces group values wholesale); `initial_lr` is what the scheduler
+    records at construction and reads back as base_lrs."""
+    import torch
+    probe = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))],
+                              lr=current_lr, betas=(0.9, 0.999), eps=1e-8,
+                              weight_decay=weight_decay)
+    group = dict(probe.param_groups[0])
+    group["params"] = list(range(n_params))
+    group["initial_lr"] = base_lr
+    return group
+
+
+def adam_to_torch_opt_sd(moment_sds: Tuple[Mapping, Mapping], key_order: list,
+                         count: int, *, base_lr: float, current_lr: float,
+                         weight_decay: float) -> Dict:
+    """(mu_sd, nu_sd) in torch tensor layout -> torch AdamW state_dict."""
+    import torch
+    mu_sd, nu_sd = moment_sds
+    state = {}
+    for i, k in enumerate(key_order):
+        state[i] = {
+            "step": torch.tensor(float(count)),
+            "exp_avg": torch.as_tensor(np.asarray(mu_sd[k], np.float32)),
+            "exp_avg_sq": torch.as_tensor(np.asarray(nu_sd[k], np.float32)),
+        }
+    return {"state": state,
+            "param_groups": [_torch_adamw_param_group(
+                len(key_order), base_lr=base_lr, current_lr=current_lr,
+                weight_decay=weight_decay)]}
+
+
+def scheduler_to_torch_sd(base_lr: float, t0: int, eta_min: float,
+                          count: int, *, t_mult: int = 2) -> Dict:
+    """Synthesize a torch CosineAnnealingWarmRestarts state_dict at
+    optimizer-step `count` (the reference steps its scheduler once per
+    optimizer step, train_hybrid.py:924-926; load_state_dict is a plain
+    __dict__.update so this key set restores the schedule position)."""
+    import math
+    if count <= 0:
+        t_i, t_cur = t0, 0
+    elif t_mult == 1:
+        t_i, t_cur = t0, count % t0
+    else:
+        n = int(math.floor(math.log2(count / t0 + 1.0)))
+        t_i = t0 * (t_mult ** n)
+        t_cur = count - t0 * (t_mult ** n - 1)
+    lr = eta_min + (base_lr - eta_min) * 0.5 * (
+        1.0 + math.cos(math.pi * t_cur / t_i))
+    return {"T_0": t0, "T_i": t_i, "T_mult": t_mult, "eta_min": eta_min,
+            "base_lrs": [base_lr], "last_epoch": count, "T_cur": t_cur,
+            "_step_count": count + 1, "_last_lr": [lr]}
+
+
+# ---------------------------------------------------------------------------
+# Full-checkpoint migration, both directions
+# ---------------------------------------------------------------------------
+
+def train_config_from_reference_args(args: Mapping) -> "TrainConfig":
+    """TrainConfig from a reference checkpoint's vars(args) snapshot
+    (train_hybrid.py:605) — the flag names are field names here."""
+    from lunaris_orion_tpu.config import TrainConfig
+    return TrainConfig.from_dict(dict(args))
+
+
+def train_state_from_torch_checkpoint(path: str, cfg,
+                                      vcfg: VAEConfig | None = None,
+                                      tcfg: TeacherConfig | None = None):
+    """Reference latest.pt/best.pt -> a complete TrainState: params, BN
+    running stats, both Adam m/v/count, schedule position, step, best_loss.
+    The RL baseline EMA resets, exactly as a reference resume does (its
+    save dict has no baseline key, train_hybrid.py:594-615).
+
+    Built on the host; callers shard with jax.device_put(state, shardings).
+    """
+    import torch
+
+    import jax
+    from lunaris_orion_tpu.train.state import create_state
+
+    vcfg = vcfg or cfg.vae_config()
+    tcfg = tcfg or cfg.teacher_config()
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+
+    def _numpy(sd):
+        return {k: v.numpy() if hasattr(v, "numpy") else v
+                for k, v in sd.items()}
+
+    # Convert everything BEFORE building the (possibly large) fresh state,
+    # so an architecture mismatch fails fast with the converter's error.
+    converted: Dict = {}
+    vae_sd = teacher_sd = None
+    if "vae_state_dict" in ckpt:
+        vae_sd = _numpy(ckpt["vae_state_dict"])
+        converted["vae_params"] = vae_params_from_torch(vae_sd, vcfg)
+    if "teacher_state_dict" in ckpt:
+        teacher_sd = _numpy(ckpt["teacher_state_dict"])
+        converted["teacher_params"], converted["teacher_stats"] = \
+            teacher_params_from_torch(teacher_sd, tcfg)
+    vae_adam = teacher_adam = None
+    if "vae_optimizer" in ckpt and vae_sd is not None:
+        vae_adam = vae_adam_from_torch(ckpt["vae_optimizer"], vae_sd, vcfg)
+    if "teacher_optimizer" in ckpt and teacher_sd is not None:
+        teacher_adam = teacher_adam_from_torch(ckpt["teacher_optimizer"],
+                                               teacher_sd, tcfg)
+
+    base = create_state(jax.random.PRNGKey(int(cfg.seed)), cfg, vcfg, tcfg)
+
+    def cast_tree(template, tree):
+        import jax.numpy as jnp
+        return jax.tree_util.tree_map(
+            lambda t, x: jnp.asarray(x, t.dtype), template, tree)
+
+    updates: Dict = {
+        "step": np.int32(int(ckpt.get("global_step", 0))),
+        "best_loss": np.float32(ckpt.get("best_loss", np.inf)),
+    }
+    for name in ("vae_params", "teacher_params", "teacher_stats"):
+        if name in converted:
+            updates[name] = cast_tree(getattr(base, name), converted[name])
+    if vae_adam is not None:
+        updates["vae_opt"] = inject_adam_state(base.vae_opt, *vae_adam)
+    if teacher_adam is not None:
+        updates["teacher_opt"] = inject_adam_state(base.teacher_opt,
+                                                   *teacher_adam)
+    return base.replace(**updates)
+
+
+def torch_checkpoint_from_state(state, cfg,
+                                vcfg: VAEConfig | None = None,
+                                tcfg: TeacherConfig | None = None) -> Dict:
+    """TrainState -> the reference's exact checkpoint dict
+    (train_hybrid.py:594-615): model/optimizer/scheduler state_dicts +
+    global_step + best_loss + vars(args).  torch.save the result as
+    latest.pt and the reference trainer resumes from it."""
+    import torch
+
+    vcfg = vcfg or cfg.vae_config()
+    tcfg = tcfg or cfg.teacher_config()
+
+    def t(sd):
+        return {k: torch.as_tensor(np.asarray(v, np.float32))
+                for k, v in sd.items()}
+
+    vae_sd = vae_state_dict_to_torch(state.vae_params, vcfg)
+    teacher_sd = teacher_state_dict_to_torch(state.teacher_params,
+                                             state.teacher_stats, tcfg)
+
+    mu, nu, v_count = extract_adam_state(state.vae_opt)
+    vae_sched = scheduler_to_torch_sd(
+        cfg.vae_lr, cfg.scheduler_t0, cfg.min_lr, v_count)
+    vae_opt = adam_to_torch_opt_sd(
+        (vae_state_dict_to_torch(mu, vcfg),
+         vae_state_dict_to_torch(nu, vcfg)),
+        _param_key_order(vae_sd), v_count,
+        base_lr=cfg.vae_lr, current_lr=vae_sched["_last_lr"][0],
+        weight_decay=cfg.weight_decay)
+
+    tmu, tnu, t_count = extract_adam_state(state.teacher_opt)
+    teacher_sched = scheduler_to_torch_sd(
+        cfg.teacher_lr, cfg.scheduler_t0, cfg.min_lr, t_count)
+    teacher_opt = adam_to_torch_opt_sd(
+        (teacher_state_dict_to_torch(tmu, state.teacher_stats, tcfg),
+         teacher_state_dict_to_torch(tnu, state.teacher_stats, tcfg)),
+        _param_key_order(teacher_sd), t_count,
+        base_lr=cfg.teacher_lr, current_lr=teacher_sched["_last_lr"][0],
+        weight_decay=cfg.weight_decay)
+
+    return {
+        "global_step": int(state.step),
+        "vae_state_dict": t(vae_sd),
+        "teacher_state_dict": t(teacher_sd),
+        "vae_optimizer": vae_opt,
+        "teacher_optimizer": teacher_opt,
+        "vae_scheduler": vae_sched,
+        "teacher_scheduler": teacher_sched,
+        "best_loss": float(state.best_loss),
+        "args": cfg.to_dict(),
+    }
