@@ -44,12 +44,14 @@ ASSUMED_REF_MFU = 0.25
 # accumulating ACCUM micro-batches per optimizer update (exactly the
 # reference's --gradient_accumulation_steps semantics,
 # train_hybrid.py:894-926) amortizes the ~2 ms optimizer+fixed cost:
-# 1x128 -> 6,277, 2x128 -> 6,409, 4x128 -> 6,721 sprites/s/chip. The
-# analytic baseline is per-FLOP and batch-independent, so the comparison
-# stays apples-to-apples; the batch-64 reference-recipe point is tabulated
-# in BASELINE.md (16.23 ms, 3,942 sprites/s).
+# 1x128 -> 6,277, 2x128 -> 6,409, 4x128 -> 6,721, 8x128 -> 6,886,
+# 16x128 -> 6,972 sprites/s/chip (98.6% of the 18.1 ms marginal-micro-step
+# asymptote; 32x would add <1%). The analytic baseline is per-FLOP and
+# batch-independent, so the comparison stays apples-to-apples; the
+# batch-64 reference-recipe point is tabulated in BASELINE.md (16.23 ms,
+# 3,942 sprites/s).
 MICRO = 128
-ACCUM = 4
+ACCUM = 16
 BATCH = MICRO * ACCUM
 LATENT = 512
 ITERS = 40

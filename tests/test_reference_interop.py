@@ -164,6 +164,44 @@ class TestStrictLoad:
         assert not missing and not unexpected
 
 
+class TestRealVAEForwardParity:
+    def test_encode_decode_parity(self, ref, our_run):
+        """Deterministic (z = mu) encode->decode through the REAL reference
+        VAE vs ours at the converted weights: the <1/255-per-pixel decode
+        north star, previously pinned only against the torch mirror
+        (test_torch_parity.py), here against lunar_generate.py itself.
+        Runs at 128px because the reference's bottleneck FC hard-codes the
+        32768-dim flatten (lunar_generate.py:124-125)."""
+        import jax.numpy as jnp
+        from lunar_generate import LunarisCoreVAE
+
+        from lunaris_orion_tpu.models import vae as jvae
+
+        state, out, _ = our_run
+        vae = LunarisCoreVAE(latent_dim=CFG.latent_dim)
+        vae.load_state_dict(out["vae_state_dict"], strict=True)
+        vae.eval()
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(-1.0, 1.0, (1, 128, 128, 3)).astype(np.float32)
+        with torch.no_grad():
+            mu_t, logvar_t, skips_t = vae.encoder(
+                torch.tensor(x.transpose(0, 3, 1, 2)))
+            rec_t = vae.decoder(mu_t, skips_t).numpy().transpose(0, 2, 3, 1)
+
+        vcfg = CFG.vae_config()
+        mu_j, logvar_j, skips_j = jvae.encode(
+            state.vae_params["encoder"], jnp.asarray(x), vcfg)
+        rec_j = np.asarray(jvae.decode(
+            state.vae_params["decoder"], mu_j, skips_j, vcfg))
+
+        np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(),
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(logvar_j), logvar_t.numpy(),
+                                   atol=2e-3, rtol=1e-3)
+        assert float(np.max(np.abs(rec_j - rec_t))) < 1.0 / 255.0
+
+
 class TestReferenceTrainerResume:
     def test_restore_lands(self, ref_trainer, our_run):
         """_load_checkpoint succeeded: step/best_loss/schedule restored."""
