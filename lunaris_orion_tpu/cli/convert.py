@@ -67,7 +67,7 @@ def _to_jax(args) -> int:
         cfg = cfg.replace(**overrides)
 
     state = torch_compat.train_state_from_torch_checkpoint(
-        args.checkpoint, cfg)
+        args.checkpoint, cfg, ckpt=ckpt)
     svc = CheckpointService(args.out, keep_n=cfg.keep_n_checkpoints)
     svc.save(int(state.step), state, config=cfg, best=args.best)
     svc.wait()

@@ -25,21 +25,18 @@ class QualityEvaluator:
         if str(checkpoint_dir).endswith(".pt"):
             # Reference torch checkpoints score directly (weights via
             # utils.torch_compat, config from the vars(args) snapshot).
-            import torch
+            if best:
+                raise ValueError(
+                    "best=True selects a slot in an Orbax checkpoint "
+                    "directory; for reference checkpoints point "
+                    "--checkpoint at best.pt directly")
             from lunaris_orion_tpu.utils import torch_compat
 
-            ckpt_pt = torch.load(checkpoint_dir, map_location="cpu",
-                                 weights_only=True)
-            self.cfg = config or (
-                torch_compat.train_config_from_reference_args(
-                    ckpt_pt["args"]) if "args" in ckpt_pt else TrainConfig())
+            self.cfg, loaded = torch_compat.load_reference_inference_bundle(
+                str(checkpoint_dir), config)
             self.tcfg = self.cfg.teacher_config()
-            loaded = torch_compat.load_full_torch_checkpoint(
-                str(checkpoint_dir), self.cfg.vae_config(), self.tcfg)
-            self.params = jax.tree_util.tree_map(
-                jnp.asarray, loaded["teacher_params"])
-            self.stats = jax.tree_util.tree_map(
-                jnp.asarray, loaded["teacher_stats"])
+            self.params = loaded["teacher_params"]
+            self.stats = loaded["teacher_stats"]
         else:
             from lunaris_orion_tpu.train.checkpoint import CheckpointService
             from lunaris_orion_tpu.train.state import create_state

@@ -39,24 +39,20 @@ class ImageGenerator:
             # A reference torch checkpoint works directly: weights convert
             # via utils.torch_compat, the model config comes from the
             # checkpoint's own vars(args) snapshot (train_hybrid.py:605).
-            import torch
+            if best:
+                raise ValueError(
+                    "best=True selects a slot in an Orbax checkpoint "
+                    "directory; for reference checkpoints point "
+                    "--checkpoint at best.pt directly")
             from lunaris_orion_tpu.utils import torch_compat
 
-            ckpt = torch.load(checkpoint_dir, map_location="cpu",
-                              weights_only=True)
-            self.cfg = config or (
-                torch_compat.train_config_from_reference_args(ckpt["args"])
-                if "args" in ckpt else TrainConfig())
+            self.cfg, loaded = torch_compat.load_reference_inference_bundle(
+                str(checkpoint_dir), config)
             self.vcfg = self.cfg.vae_config()
             self.tcfg = self.cfg.teacher_config()
-            loaded = torch_compat.load_full_torch_checkpoint(
-                str(checkpoint_dir), self.vcfg, self.tcfg)
-            self.vae_params = jax.tree_util.tree_map(
-                jnp.asarray, loaded["vae_params"])
-            self.teacher_params = jax.tree_util.tree_map(
-                jnp.asarray, loaded["teacher_params"])
-            self.teacher_stats = jax.tree_util.tree_map(
-                jnp.asarray, loaded["teacher_stats"])
+            self.vae_params = loaded["vae_params"]
+            self.teacher_params = loaded["teacher_params"]
+            self.teacher_stats = loaded["teacher_stats"]
             self.step = loaded["global_step"]
         else:
             from lunaris_orion_tpu.train.checkpoint import CheckpointService

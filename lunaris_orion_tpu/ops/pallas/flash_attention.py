@@ -131,7 +131,7 @@ def _prng_keep(row_seed, k0, q0, shape, keep_prob: float):
     """Hardware-PRNG keep-mask, reseeded per 512x512 subtile from absolute
     coordinates — block-decomposition independent like _keep_mask."""
     bk, bq = shape
-    threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
+    threshold = _dropout_threshold(keep_prob)
     rows = []
     for gi in range(bk // _PRNG_GRAIN):
         cols = []
@@ -179,6 +179,17 @@ _C2 = int(np.uint32(0x85EBCA6B).astype(np.int32))
 _C3 = int(np.uint32(0xC2B2AE35).astype(np.int32))
 
 
+def _dropout_threshold(keep_prob: float) -> jnp.ndarray:
+    """uint32 compare threshold for `bits < threshold` keep decisions.
+
+    Clamped to 2**32-1: keep_prob values that round to 1.0 in float (e.g.
+    dropout_rate = 1e-17, which still takes the rate>0 branch) must keep
+    ~everything — the former `& 0xFFFFFFFF` wrapped int(2**32) to 0 and
+    dropped every element instead. Shared by the kernel hash mask, the
+    PRNG mode, and ring attention so bit-parity is preserved."""
+    return jnp.uint32(min(int(keep_prob * 4294967296.0), 0xFFFFFFFF))
+
+
 def _row_seeds(seed, bh: int) -> jax.Array:
     """[BH, 1, 128] int32 per-(batch*head) seed lane (index_map-routable)."""
     rows = seed.reshape(1, 1, 1).astype(jnp.int32) ^ (
@@ -218,7 +229,7 @@ def _keep_mask(row_seed, k0, q0, shape, keep_prob: float):
     h = col + row
     h = h ^ jax.lax.shift_right_logical(h, 15)
     h = h * jnp.int32(_C2)
-    threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
+    threshold = _dropout_threshold(keep_prob)
     return jax.lax.bitcast_convert_type(h, jnp.uint32) < threshold
 
 

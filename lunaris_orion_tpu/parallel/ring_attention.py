@@ -52,7 +52,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from lunaris_orion_tpu.ops.pallas.flash_attention import _C1, _C2, _C3
+from lunaris_orion_tpu.ops.pallas.flash_attention import (
+    _C1, _C2, _C3, _dropout_threshold)
 
 try:  # jax >= 0.4.35 exposes shard_map at jax.experimental.shard_map
     from jax.experimental.shard_map import shard_map
@@ -75,7 +76,7 @@ def _keep_mask_qk(row_seed: jax.Array, q0: jax.Array, k0: jax.Array,
     h = kcol + qrow
     h = h ^ lax.shift_right_logical(h, 15)
     h = h * jnp.int32(_C2)
-    threshold = jnp.uint32(int(keep_prob * 4294967296.0) & 0xFFFFFFFF)
+    threshold = _dropout_threshold(keep_prob)
     return lax.bitcast_convert_type(h, jnp.uint32) < threshold
 
 

@@ -382,7 +382,10 @@ class Trainer:
         sharded batch is not fully addressable from this host."""
         try:
             return np.asarray(device_batch[0, :4])
-        except Exception:  # multi-host: non-addressable shards
+        except RuntimeError:  # multi-host: non-addressable shards
+            # (jax raises RuntimeError for fetches of non-addressable
+            # data; anything else should surface, not silently swap the
+            # grid contents for fixed dataset rows.)
             return self.dataset.gather(
                 np.arange(min(4, len(self.dataset))))
 

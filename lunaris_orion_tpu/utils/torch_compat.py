@@ -391,13 +391,16 @@ def load_torch_checkpoint(path: str, cfg: VAEConfig, *,
 
 
 def load_full_torch_checkpoint(path: str, vcfg: VAEConfig,
-                               tcfg: TeacherConfig) -> Dict:
+                               tcfg: TeacherConfig, *,
+                               ckpt: Mapping | None = None) -> Dict:
     """Load a full reference checkpoint: both models + trainer scalars.
 
     Returns {vae_params, teacher_params, teacher_stats, global_step,
-    best_loss} (reference save dict: train_hybrid.py:594-615)."""
+    best_loss} (reference save dict: train_hybrid.py:594-615). Pass `ckpt`
+    (already torch.load()ed) to skip re-reading the file."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if ckpt is None:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
 
     def _numpy(sd):
         return {k: v.numpy() if hasattr(v, "numpy") else v
@@ -416,6 +419,29 @@ def load_full_torch_checkpoint(path: str, vcfg: VAEConfig,
         out["teacher_params"] = tp
         out["teacher_stats"] = ts
     return out
+
+
+def load_reference_inference_bundle(path: str, config=None):
+    """One-torch.load bootstrap for running inference straight off a
+    reference .pt: returns (cfg, bundle) where bundle holds device-ready
+    jnp param/stat trees plus global_step/best_loss, and cfg comes from
+    the checkpoint's own vars(args) snapshot (train_hybrid.py:605) unless
+    overridden. Shared by ImageGenerator / QualityEvaluator."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from lunaris_orion_tpu.config import TrainConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    cfg = config or (train_config_from_reference_args(ckpt["args"])
+                     if "args" in ckpt else TrainConfig())
+    out = load_full_torch_checkpoint(path, cfg.vae_config(),
+                                     cfg.teacher_config(), ckpt=ckpt)
+    for k in ("vae_params", "teacher_params", "teacher_stats"):
+        if k in out:
+            out[k] = jax.tree_util.tree_map(jnp.asarray, out[k])
+    return cfg, out
 
 
 # ---------------------------------------------------------------------------
@@ -504,22 +530,25 @@ def _map_adam_states(opt_state, fn):
     return rec(opt_state)
 
 
+def _cast_like(template, tree):
+    """tree with every leaf cast to the matching template leaf's dtype."""
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda t, x: jnp.asarray(x, t.dtype), template, tree)
+
+
 def inject_adam_state(opt_state, mu, nu, count: int):
     """Return opt_state with ScaleByAdamState(mu, nu, count) and every
     schedule count set — dtypes/structure cast to match the template (so
     e.g. bf16_momentum mu dtype is respected)."""
-    import jax
     import jax.numpy as jnp
-
-    def cast_like(template, tree):
-        return jax.tree_util.tree_map(
-            lambda t, x: jnp.asarray(x, t.dtype), template, tree)
 
     def fn(s):
         if type(s).__name__ == "ScaleByAdamState":
             return s._replace(count=jnp.asarray(count, s.count.dtype),
-                              mu=cast_like(s.mu, mu),
-                              nu=cast_like(s.nu, nu))
+                              mu=_cast_like(s.mu, mu),
+                              nu=_cast_like(s.nu, nu))
         return s._replace(count=jnp.asarray(count, s.count.dtype))
 
     return _map_adam_states(opt_state, fn)
@@ -588,10 +617,13 @@ def adam_to_torch_opt_sd(moment_sds: Tuple[Mapping, Mapping], key_order: list,
     mu_sd, nu_sd = moment_sds
     state = {}
     for i, k in enumerate(key_order):
+        # np.array (not as_tensor over a device-array view): AdamW updates
+        # these in place (exp_avg.mul_().add_()), so the tensors must own
+        # writable storage.
         state[i] = {
             "step": torch.tensor(float(count)),
-            "exp_avg": torch.as_tensor(np.asarray(mu_sd[k], np.float32)),
-            "exp_avg_sq": torch.as_tensor(np.asarray(nu_sd[k], np.float32)),
+            "exp_avg": torch.from_numpy(np.array(mu_sd[k], np.float32)),
+            "exp_avg_sq": torch.from_numpy(np.array(nu_sd[k], np.float32)),
         }
     return {"state": state,
             "param_groups": [_torch_adamw_param_group(
@@ -634,11 +666,15 @@ def train_config_from_reference_args(args: Mapping) -> "TrainConfig":
 
 def train_state_from_torch_checkpoint(path: str, cfg,
                                       vcfg: VAEConfig | None = None,
-                                      tcfg: TeacherConfig | None = None):
+                                      tcfg: TeacherConfig | None = None,
+                                      *, ckpt: Mapping | None = None):
     """Reference latest.pt/best.pt -> a complete TrainState: params, BN
     running stats, both Adam m/v/count, schedule position, step, best_loss.
     The RL baseline EMA resets, exactly as a reference resume does (its
     save dict has no baseline key, train_hybrid.py:594-615).
+
+    Pass `ckpt` (an already torch.load()ed dict) to skip re-reading the
+    file — real reference checkpoints are hundreds of MB to GBs.
 
     Built on the host; callers shard with jax.device_put(state, shardings).
     """
@@ -649,7 +685,8 @@ def train_state_from_torch_checkpoint(path: str, cfg,
 
     vcfg = vcfg or cfg.vae_config()
     tcfg = tcfg or cfg.teacher_config()
-    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if ckpt is None:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
 
     def _numpy(sd):
         return {k: v.numpy() if hasattr(v, "numpy") else v
@@ -675,18 +712,13 @@ def train_state_from_torch_checkpoint(path: str, cfg,
 
     base = create_state(jax.random.PRNGKey(int(cfg.seed)), cfg, vcfg, tcfg)
 
-    def cast_tree(template, tree):
-        import jax.numpy as jnp
-        return jax.tree_util.tree_map(
-            lambda t, x: jnp.asarray(x, t.dtype), template, tree)
-
     updates: Dict = {
         "step": np.int32(int(ckpt.get("global_step", 0))),
         "best_loss": np.float32(ckpt.get("best_loss", np.inf)),
     }
     for name in ("vae_params", "teacher_params", "teacher_stats"):
         if name in converted:
-            updates[name] = cast_tree(getattr(base, name), converted[name])
+            updates[name] = _cast_like(getattr(base, name), converted[name])
     if vae_adam is not None:
         updates["vae_opt"] = inject_adam_state(base.vae_opt, *vae_adam)
     if teacher_adam is not None:
@@ -708,7 +740,9 @@ def torch_checkpoint_from_state(state, cfg,
     tcfg = tcfg or cfg.teacher_config()
 
     def t(sd):
-        return {k: torch.as_tensor(np.asarray(v, np.float32))
+        # np.array copy: torch load_state_dict consumers may mutate these
+        # in place (e.g. BN running-stat updates), so no read-only views.
+        return {k: torch.from_numpy(np.array(v, np.float32))
                 for k, v in sd.items()}
 
     vae_sd = vae_state_dict_to_torch(state.vae_params, vcfg)

@@ -334,6 +334,18 @@ class TestPtInInference:
         assert len(rows) == 2
         assert 0.0 <= rows[0]["mean_quality"] <= 1.0
 
+    def test_best_flag_with_pt_raises(self, std_run):
+        """best=True only means something for Orbax slot directories; a
+        .pt path must refuse instead of silently loading latest weights."""
+        from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+        from lunaris_orion_tpu.infer.generator import ImageGenerator
+
+        path, *_ = std_run
+        with pytest.raises(ValueError, match="best.pt"):
+            ImageGenerator(path, best=True)
+        with pytest.raises(ValueError, match="best.pt"):
+            QualityEvaluator(path, best=True)
+
 
 @pytest.mark.slow
 class TestTrainerPtResume:

@@ -135,6 +135,20 @@ class TestDropout:
             frac = float(jnp.mean(m > 0))
             assert abs(frac - keep) < 0.01, (keep, frac)
 
+    def test_keep_prob_rounding_to_one_keeps_everything(self):
+        """dropout_rate = 1e-17 takes the rate>0 branch but 1-1e-17 == 1.0
+        in float; the uint32 threshold must clamp to 2**32-1, not wrap to
+        0 (which dropped EVERY element — regression for the
+        int(2**32) & 0xFFFFFFFF bug)."""
+        keep = 1.0 - 1e-17
+        assert keep == 1.0  # the wrap precondition
+        m = fa._keep_mask(jnp.int32(7), 0, 0, (512, 512), keep)
+        assert float(jnp.mean(m)) > 0.999
+        from lunaris_orion_tpu.parallel.ring_attention import _keep_mask_qk
+        mr = _keep_mask_qk(jnp.full((1, 1), 7, jnp.int32), 0, 0, 512, 512,
+                           keep)
+        assert float(jnp.mean(mr)) > 0.999
+
     @pytest.mark.slow
     def test_dropout_fwd_matches_dense_at_multitile_n(self, rng):
         q, k, v, bias = _make(rng, b=1, h=2, n=2048, d=8)
