@@ -101,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force (--use_pallas, asserts TPU+shape support) or "
                         "forbid (--no-use_pallas) the Pallas attention "
                         "kernel; default: auto dispatch")
+    g.add_argument("--attn_window", type=int, default=d.attn_window,
+                   help="teacher attention window in tokens (0 = global). "
+                        "The CORRECTED form of the reference's intended "
+                        "memory-efficient chunked attention (its shipped "
+                        "chunking is defective; docs/parity.md) — a "
+                        "documented quality/compute deviation knob that "
+                        "cuts the teacher's O(N^2) attention to "
+                        "O(N*window)")
     g.add_argument("--fuse_teacher", action=argparse.BooleanOptionalAction,
                    default=d.fuse_teacher,
                    help="run the two per-micro-batch teacher calls as one "

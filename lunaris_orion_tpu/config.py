@@ -72,6 +72,11 @@ class TeacherConfig:
     num_heads: int = 8
     layer_scale_init: float = 0.1
     image_size: int = 128
+    attn_window: Optional[int] = None  # tokens attend only within windows
+                                       # of this size on the flattened
+                                       # token axis (corrected realization
+                                       # of the reference's intended
+                                       # chunked attention; None = global)
 
     @property
     def head_dim(self) -> int:
@@ -144,6 +149,14 @@ class TrainConfig:
     model_axis: str = "model"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> (n_devices, 1)
     use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
+    attn_window: int = 0        # >0: teacher attention restricted to
+                                # windows of this many tokens — the
+                                # CORRECTED form of the reference's
+                                # intended memory-efficient chunking
+                                # (its shipped chunking is defective,
+                                # docs/parity.md). DEVIATION knob, off by
+                                # default; cuts the teacher's dominant
+                                # O(N^2) attention cost to O(N*window).
     val_fraction: float = 0.1
     prefetch_depth: int = 2
     donate_state: bool = True
@@ -185,6 +198,7 @@ class TrainConfig:
             feature_dim=self.feature_dim,
             embedding_dim=self.embedding_dim,
             image_size=self.image_size,
+            attn_window=self.attn_window or None,
         )
 
     def replace(self, **kw) -> "TrainConfig":

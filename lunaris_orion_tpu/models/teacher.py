@@ -159,7 +159,7 @@ def expert_block_apply(p, s, x, *, cfg: TeacherConfig, train: bool, rng: _Rng,
         out = attn_mod.spatial_attention_reference(
             p["attn"], out, num_heads=cfg.num_heads,
             dropout_rate=cfg.dropout_rate, rng=attn_rng, train=train,
-            impl=attn_impl)
+            impl=attn_impl, window=cfg.attn_window)
         out, c2s = _cbn(p["conv2"], c2s, out, train=train)
         out = layers.dropout2d(out, cfg.dropout_rate, rng=drop2_rng, train=train)
         return out * p["layer_scale"].astype(out.dtype), c1s, c2s

@@ -98,8 +98,10 @@ def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
                         train: bool = False) -> jax.Array:
     """Blockwise online-softmax attention in pure JAX.
 
-    q,k,v: [B, heads, N, d]; bias: [heads, N] additive key bias (or None).
-    Memory: O(B * heads * block_q * block_k). Accumulates in f32.
+    q,k,v: [B, heads, N, d]; bias: [heads, N] additive key bias, or
+    [B, heads, N] for per-batch biases (the local-window path folds windows
+    into the batch dim, where each window sees a different bias slice), or
+    None. Memory: O(B * heads * block_q * block_k). Accumulates in f32.
     """
     b, nh, n, d = q.shape
     bq = _pick_block(n, block_q)
@@ -111,7 +113,12 @@ def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
     qb = q.reshape(b, nh, nq, bq, d).transpose(2, 0, 1, 3, 4)  # [nq,B,h,bq,d]
     kb = k.reshape(b, nh, nk, bk, d).transpose(2, 0, 1, 3, 4)
     vb = v.reshape(b, nh, nk, bk, d).transpose(2, 0, 1, 3, 4)
-    bias_b = None if bias is None else bias.reshape(nh, nk, bk).transpose(1, 0, 2)
+    if bias is None:
+        bias_b = None
+    elif bias.ndim == 3:  # [B, heads, N] -> [nk, B, h, bk]
+        bias_b = bias.reshape(b, nh, nk, bk).transpose(2, 0, 1, 3)
+    else:  # [heads, N] -> [nk, h, bk]
+        bias_b = bias.reshape(nh, nk, bk).transpose(1, 0, 2)
 
     use_drop = train and dropout_rate > 0.0 and rng is not None
 
@@ -128,7 +135,9 @@ def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
             s = jnp.einsum("bhqd,bhkd->bhqk", q_blk.astype(jnp.float32),
                            k_blk.astype(jnp.float32)) * scale
             if bias_b is not None:
-                s = s + bias_b[ki][None, :, None, :]
+                blk = bias_b[ki]
+                s = s + (blk[:, :, None, :] if blk.ndim == 3
+                         else blk[None, :, None, :])
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
@@ -154,18 +163,79 @@ def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
 def full_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
                    rng: Optional[jax.Array] = None,
                    train: bool = False) -> jax.Array:
-    """O(N^2)-memory attention for small N / parity tests."""
+    """O(N^2)-memory attention for small N / parity tests.
+
+    bias: [heads, N], [B, heads, N] (per-batch; see flash_attention_xla),
+    or None."""
     d = q.shape[-1]
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * (d ** -0.5)
     if bias is not None:
-        s = s + bias[None, :, None, :]
+        s = s + (bias[:, :, None, :] if bias.ndim == 3
+                 else bias[None, :, None, :])
     p = jax.nn.softmax(s, axis=-1)
     if train and dropout_rate > 0.0 and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, p.shape)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def local_window_attention(q, k, v, bias, *, window: int,
+                           dropout_rate: float = 0.0,
+                           rng: Optional[jax.Array] = None,
+                           train: bool = False) -> jax.Array:
+    """CORRECT local attention over contiguous windows of the flattened
+    token axis — the evident intent of the reference's 'memory-efficient'
+    chunked attention (lunar_evaluator.py:190-218), whose shipped
+    implementation both overwrites output chunks (ordinal indexing,
+    :209,216) and never attends across chunks. This realizes the intended
+    semantics (each token attends within its window, softmax and rel-pos
+    bias correct) as an opt-in compute knob: score work drops from O(N^2)
+    to O(N*window).
+
+    q,k,v: [B, heads, N, d]; bias: [heads, N] additive key bias or None.
+    Computed as a sequential (lax.map) sweep over windows, each window one
+    dense MXU-shaped [W x W] attention with the backward rematerialized
+    per window — peak memory is ONE window's score tile, O(B*heads*W^2),
+    regardless of N. (Folding all windows into the batch dim instead was
+    measured to OOM at 128px teacher shapes: every window's scores went
+    live at once.)
+    """
+    b, nh, n, d = q.shape
+    if n % window != 0:
+        raise ValueError(f"window {window} must divide N={n}")
+    nw = n // window
+    orig = q.dtype
+
+    def per_win(t):  # [B, h, N, d] -> [nW, B, h, W, d]
+        return t.reshape(b, nh, nw, window, d).transpose(2, 0, 1, 3, 4)
+
+    qw, kw, vw = per_win(q), per_win(k), per_win(v)
+    bias_w = (None if bias is None
+              else bias.reshape(nh, nw, window).transpose(1, 0, 2))
+
+    use_drop = train and dropout_rate > 0.0 and rng is not None
+    scale = d ** -0.5
+
+    @jax.checkpoint  # recompute the window in backward: keeps one score
+    # tile live instead of nW probability residuals
+    def win_step(wi, q_blk, k_blk, v_blk):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk.astype(jnp.float32),
+                       k_blk.astype(jnp.float32)) * scale
+        if bias_w is not None:
+            s = s + bias_w[wi][None, :, None, :]
+        p = jax.nn.softmax(s, axis=-1)
+        if use_drop:
+            keep = jax.random.bernoulli(jax.random.fold_in(rng, wi),
+                                        1.0 - dropout_rate, p.shape)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32))
+
+    out = lax.map(lambda args: win_step(*args),
+                  (jnp.arange(nw), qw, kw, vw))  # [nW, B, h, W, d]
+    out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n, d)
+    return out.astype(orig)
 
 
 def self_attention_2d_init(key, channels: int) -> Params:
@@ -207,12 +277,18 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                                 block_q: int = 256,
                                 block_k: int = 1024,
                                 cp_mesh=None,
-                                cp_axis: Optional[str] = None) -> jax.Array:
+                                cp_axis: Optional[str] = None,
+                                window: Optional[int] = None) -> jax.Array:
     """Full PixelArtAttention module: qkv -> blockwise attn(+rel-pos) -> proj.
 
     `impl`: 'auto' | 'full' | 'flash' | 'pallas' | 'ring'. Dropout is
     applied to attention probabilities and to the projected output, as in
     the reference (lunar_evaluator.py:139-140,211-225).
+
+    `window` (opt-in DEVIATION knob, docs/parity.md): tokens attend only
+    within contiguous windows of the flattened token axis — the corrected
+    realization of the reference's intended memory-efficient chunking
+    (local_window_attention). Overrides `impl` when < N.
 
     impl='ring' (requires cp_mesh + cp_axis) shards the token axis N = H*W
     over the mesh axis and runs cross-chip ring attention
@@ -232,6 +308,15 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
 
     drop_active = train and dropout_rate > 0.0 and attn_rng is not None
     head_dim = c // num_heads
+    if window is not None and window < n:
+        if impl == "ring":
+            raise ValueError("window cannot combine with impl='ring'")
+        out = local_window_attention(q, k, v, bias, window=window,
+                                     dropout_rate=dropout_rate,
+                                     rng=attn_rng, train=train)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        out = layers.conv2d(params["proj"], out)
+        return layers.dropout(out, dropout_rate, rng=proj_rng, train=train)
     if impl == "auto":
         from lunaris_orion_tpu.ops import dispatch
         from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len

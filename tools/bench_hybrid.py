@@ -84,16 +84,20 @@ def bench_attention():
           flush=True)
 
 
-def bench_hybrid(fuse: bool = True):
+def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8):
     """Full hybrid step at 128px reference defaults. remat=False matches the
-    static planner's choice at batch 8 on a 16GB chip (BASELINE.md)."""
+    static planner's choice at batch 8 on a 16GB chip (BASELINE.md).
+
+    attn_window > 0 measures the --attn_window deviation knob (corrected
+    local-window teacher attention, ops/attention.py)."""
     from lunaris_orion_tpu.config import TrainConfig
     from lunaris_orion_tpu.train.state import create_state
     from lunaris_orion_tpu.train.step import make_train_step
 
-    BATCH = 8
+    BATCH = batch
     cfg = TrainConfig(batch_size=BATCH, gradient_accumulation_steps=1,
-                      mixed_precision=True, fuse_teacher=fuse)
+                      mixed_precision=True, fuse_teacher=fuse,
+                      attn_window=attn_window)
     state = create_state(jax.random.PRNGKey(0), cfg)
     step = make_train_step(cfg, remat=False)
     imgs = jnp.asarray(np.random.default_rng(0).integers(
@@ -110,10 +114,12 @@ def bench_hybrid(fuse: bool = True):
         return lambda: float(run(state))
 
     print(f"compiling hybrid step chains (128px defaults, "
-          f"fuse_teacher={fuse})...", flush=True)
+          f"fuse_teacher={fuse}, attn_window={attn_window or 'global'}, "
+          f"batch={BATCH})...", flush=True)
     dt = slope(make, 1, 4, reps=2)
-    print(f"hybrid step (fuse_teacher={fuse}): {dt*1e3:.0f} ms = "
-          f"{BATCH/dt:.2f} sprites/s/chip", flush=True)
+    print(f"hybrid step (fuse_teacher={fuse}, "
+          f"attn_window={attn_window or 'global'}, batch={BATCH}): "
+          f"{dt*1e3:.0f} ms = {BATCH/dt:.2f} sprites/s/chip", flush=True)
 
 
 if __name__ == "__main__":
@@ -128,8 +134,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", choices=["attn", "hybrid"], default=None)
     ap.add_argument("--no-fuse", action="store_true")
+    ap.add_argument("--attn_window", type=int, default=0)
+    ap.add_argument("--batch", type=int, default=8)
     a = ap.parse_args()
     if a.only in (None, "attn"):
         bench_attention()
     if a.only in (None, "hybrid"):
-        bench_hybrid(fuse=not a.no_fuse)
+        bench_hybrid(fuse=not a.no_fuse, attn_window=a.attn_window,
+                     batch=a.batch)
