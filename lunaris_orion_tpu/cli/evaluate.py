@@ -18,6 +18,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--best", action="store_true")
     p.add_argument("--device", type=str, default=None)
+    p.add_argument("--attn_window", type=int, default=None,
+                   help="teacher attention window in tokens for scoring "
+                        "(local-window attention, ~7x faster at 256 on "
+                        "128px; a documented quality/compute deviation — "
+                        "docs/parity.md). Default: the checkpoint's "
+                        "setting (global)")
     return p
 
 
@@ -28,7 +34,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
 
-    ev = QualityEvaluator(args.checkpoint, best=args.best)
+    ev = QualityEvaluator(args.checkpoint, best=args.best,
+                          attn_window=args.attn_window)
     results = ev.score_directory(args.input, batch_size=args.batch_size)
     if args.output:
         with open(args.output, "w") as f:

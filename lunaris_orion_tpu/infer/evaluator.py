@@ -21,7 +21,12 @@ from lunaris_orion_tpu.models import teacher as teacher_mod
 
 class QualityEvaluator:
     def __init__(self, checkpoint_dir: str, *, best: bool = False,
-                 config: Optional[TrainConfig] = None):
+                 config: Optional[TrainConfig] = None,
+                 attn_window: Optional[int] = None):
+        """attn_window: override the teacher's attention window for scoring
+        (local-window attention, docs/parity.md deviation 12) — batch
+        scoring is ~7x faster at window 256 on 128px inputs. None keeps
+        the checkpoint's own setting."""
         if str(checkpoint_dir).endswith(".pt"):
             # Reference torch checkpoints score directly (weights via
             # utils.torch_compat, config from the vars(args) snapshot).
@@ -34,6 +39,8 @@ class QualityEvaluator:
 
             self.cfg, loaded = torch_compat.load_reference_inference_bundle(
                 str(checkpoint_dir), config)
+            if attn_window is not None:
+                self.cfg = self.cfg.replace(attn_window=attn_window)
             self.tcfg = self.cfg.teacher_config()
             self.params = loaded["teacher_params"]
             self.stats = loaded["teacher_stats"]
@@ -46,6 +53,8 @@ class QualityEvaluator:
             if self.cfg is None:
                 raise FileNotFoundError(
                     f"no config.json beside checkpoints in {checkpoint_dir}")
+            if attn_window is not None:
+                self.cfg = self.cfg.replace(attn_window=attn_window)
             self.tcfg = self.cfg.teacher_config()
             abstract = jax.eval_shape(
                 lambda k: create_state(k, self.cfg, self.cfg.vae_config(),

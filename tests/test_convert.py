@@ -334,6 +334,16 @@ class TestPtInInference:
         assert len(rows) == 2
         assert 0.0 <= rows[0]["mean_quality"] <= 1.0
 
+    def test_evaluator_attn_window_override(self, std_run):
+        """--attn_window threads through to the scoring teacher config."""
+        from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+
+        path, *_ = std_run
+        ev = QualityEvaluator(path, attn_window=64)
+        assert ev.tcfg.attn_window == 64
+        x = np.zeros((1, 16, 16, 3), np.uint8)
+        assert len(ev.score_batch(x)) == 1
+
     def test_best_flag_with_pt_raises(self, std_run):
         """best=True only means something for Orbax slot directories; a
         .pt path must refuse instead of silently loading latest weights."""
