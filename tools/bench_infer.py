@@ -62,10 +62,13 @@ def main():
     ap.add_argument("--batches", default="64,256,1024")
     ap.add_argument("--score_batches", default="4,8,16")
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--attn_window", type=int, default=0,
+                    help=">0: teacher scores with local-window attention "
+                         "(docs/parity.md deviation 12)")
     args = ap.parse_args()
 
     vcfg = VAEConfig(latent_dim=args.latent)
-    tcfg = TeacherConfig()
+    tcfg = TeacherConfig(attn_window=args.attn_window or None)
     key = jax.random.PRNGKey(0)
     vp = vae_mod.init(key, vcfg)
     tp, ts = teacher_mod.init(jax.random.PRNGKey(1), tcfg)
