@@ -62,23 +62,37 @@ class QualityEvaluator:
             state = ckpt.restore(abstract, best=best)
             self.params = state.teacher_params
             self.stats = state.teacher_stats
-        tcfg = self.tcfg
+        self._score = self._make_score(self.tcfg)
+        self._score_global = None  # lazy window-free fallback
 
+    def _make_score(self, tcfg):
         @jax.jit
         def _score(tp, ts, x):
             out, _ = teacher_mod.apply(tp, ts, x, cfg=tcfg, train=False)
             return (out["quality_scores"], out["expert_weights"],
                     out["semantic_score"], out["style_embedding"])
 
-        self._score = _score
+        return _score
 
-    def score_batch(self, images: np.ndarray) -> List[Dict]:
+    def score_batch(self, images: np.ndarray, *,
+                    global_attn: bool = False) -> List[Dict]:
         """images: uint8 [n,H,W,3] or float [-1,1]. Returns per-image dicts
-        with the 4 quality metrics + overall + semantic + expert weights."""
+        with the 4 quality metrics + overall + semantic + expert weights.
+
+        global_attn=True scores with the attention window override removed
+        (the faithful global path) — used by score_directory for shape
+        groups whose token count the window cannot tile."""
+        fn = self._score
+        if global_attn:
+            if self._score_global is None:
+                import dataclasses
+                self._score_global = self._make_score(
+                    dataclasses.replace(self.tcfg, attn_window=None))
+            fn = self._score_global
         x = jnp.asarray(images)
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 127.5 - 1.0
-        q, w, s, _ = self._score(self.params, self.stats, x)
+        q, w, s, _ = fn(self.params, self.stats, x)
         q, w, s = np.asarray(q), np.asarray(w), np.asarray(s)
         names = ("edge_quality", "color_consistency", "detail", "overall")
         return [
@@ -101,17 +115,31 @@ class QualityEvaluator:
         by_shape: Dict[tuple, List] = {}
         for f in sorted(p.glob("*.png")):
             arr = np.asarray(Image.open(f).convert("RGB"), np.uint8)
-            by_shape.setdefault(arr.shape, []).append((f, arr))
-        for shape, items in by_shape.items():
-            for start in range(0, len(items), batch_size):
-                chunk = items[start:start + batch_size]
+            by_shape.setdefault(arr.shape, []).append((f.name, arr))
+
+        def _score_group(pairs):
+            # One uniform-shape group. An attn_window override may not tile
+            # this shape's token count (e.g. odd-sized montage PNGs): fall
+            # back to the faithful global path for the group instead of
+            # aborting the run and losing every already-scored group.
+            global_attn = False
+            for start in range(0, len(pairs), batch_size):
+                chunk = pairs[start:start + batch_size]
                 imgs = np.stack([a for _, a in chunk])
-                for (f, _), scores in zip(chunk, self.score_batch(imgs)):
-                    results[f.name] = scores
+                try:
+                    scores = self.score_batch(imgs, global_attn=global_attn)
+                except ValueError as e:
+                    if "must divide" not in str(e):
+                        raise
+                    global_attn = True
+                    scores = self.score_batch(imgs, global_attn=True)
+                for (key, _), s in zip(chunk, scores):
+                    results[key] = s
+
+        for shape, items in by_shape.items():
+            _score_group(items)
         for shard in sorted(p.glob("sprites*.npy")):
             arr = np.load(shard, mmap_mode="r")
-            for start in range(0, len(arr), batch_size):
-                imgs = np.asarray(arr[start:start + batch_size])
-                for i, scores in enumerate(self.score_batch(imgs)):
-                    results[f"{shard.name}[{start + i}]"] = scores
+            _score_group([(f"{shard.name}[{i}]", arr[i])
+                          for i in range(len(arr))])
         return results

@@ -98,10 +98,11 @@ def flash_attention_xla(q, k, v, bias, *, block_q: int = 256,
                         train: bool = False) -> jax.Array:
     """Blockwise online-softmax attention in pure JAX.
 
-    q,k,v: [B, heads, N, d]; bias: [heads, N] additive key bias, or
-    [B, heads, N] for per-batch biases (the local-window path folds windows
-    into the batch dim, where each window sees a different bias slice), or
-    None. Memory: O(B * heads * block_q * block_k). Accumulates in f32.
+    q,k,v: [B, heads, N, d]; bias: [heads, N] additive key bias,
+    [B, heads, N] for callers that batch distinct bias slices (API
+    extension, parity-tested in tests/test_local_attention.py; no product
+    call site uses it today), or None.
+    Memory: O(B * heads * block_q * block_k). Accumulates in f32.
     """
     b, nh, n, d = q.shape
     bq = _pick_block(n, block_q)
@@ -203,10 +204,11 @@ def local_window_attention(q, k, v, bias, *, window: int,
     live at once.)
     """
     b, nh, n, d = q.shape
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
     if n % window != 0:
         raise ValueError(f"window {window} must divide N={n}")
     nw = n // window
-    orig = q.dtype
 
     def per_win(t):  # [B, h, N, d] -> [nW, B, h, W, d]
         return t.reshape(b, nh, nw, window, d).transpose(2, 0, 1, 3, 4)
@@ -214,28 +216,21 @@ def local_window_attention(q, k, v, bias, *, window: int,
     qw, kw, vw = per_win(q), per_win(k), per_win(v)
     bias_w = (None if bias is None
               else bias.reshape(nh, nw, window).transpose(1, 0, 2))
-
     use_drop = train and dropout_rate > 0.0 and rng is not None
-    scale = d ** -0.5
 
     @jax.checkpoint  # recompute the window in backward: keeps one score
     # tile live instead of nW probability residuals
     def win_step(wi, q_blk, k_blk, v_blk):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q_blk.astype(jnp.float32),
-                       k_blk.astype(jnp.float32)) * scale
-        if bias_w is not None:
-            s = s + bias_w[wi][None, :, None, :]
-        p = jax.nn.softmax(s, axis=-1)
-        if use_drop:
-            keep = jax.random.bernoulli(jax.random.fold_in(rng, wi),
-                                        1.0 - dropout_rate, p.shape)
-            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-        return jnp.einsum("bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32))
+        return full_attention(
+            q_blk, k_blk, v_blk,
+            None if bias_w is None else bias_w[wi],
+            dropout_rate=dropout_rate,
+            rng=jax.random.fold_in(rng, wi) if use_drop else None,
+            train=train)
 
     out = lax.map(lambda args: win_step(*args),
                   (jnp.arange(nw), qw, kw, vw))  # [nW, B, h, W, d]
-    out = out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n, d)
-    return out.astype(orig)
+    return out.transpose(1, 2, 0, 3, 4).reshape(b, nh, n, d)
 
 
 def self_attention_2d_init(key, channels: int) -> Params:
@@ -308,87 +303,100 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
 
     drop_active = train and dropout_rate > 0.0 and attn_rng is not None
     head_dim = c // num_heads
-    if window is not None and window < n:
-        if impl == "ring":
-            raise ValueError("window cannot combine with impl='ring'")
+    if window is not None and window <= 0:
+        raise ValueError(f"window must be positive, got {window} "
+                         "(use None / --attn_window 0 for global)")
+    windowed = window is not None and window < n
+    if windowed and impl in ("ring", "pallas"):
+        # Both are explicit requests the window path cannot honor; silent
+        # substitution would mask exactly what the forced setting asserts.
+        raise ValueError(
+            f"window={window} cannot combine with impl={impl!r}: local-"
+            "window attention runs its own XLA path (use impl='auto', or "
+            "drop --attn_window / use_pallas)")
+    if windowed:
         out = local_window_attention(q, k, v, bias, window=window,
                                      dropout_rate=dropout_rate,
                                      rng=attn_rng, train=train)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
-        out = layers.conv2d(params["proj"], out)
-        return layers.dropout(out, dropout_rate, rng=proj_rng, train=train)
-    if impl == "auto":
-        from lunaris_orion_tpu.ops import dispatch
-        from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len
-        if n <= 1024:
-            impl = "full"
-        elif (dispatch.choose("attention") == "pallas"
-              and supported_seq_len(n)
-              and head_dim % (16 if q.dtype == jnp.bfloat16 else 8) == 0):
-            # head_dim gate = Mosaic sublane tiling (bf16 16 / f32 8).
-            # d in {8, 16, 48, 64} is hardware-validated
-            # (tools/tpu_validate_attention.py PASS, 2026-08-17). Earlier
-            # worker crashes attributed to d=48 reproduced on the pure-XLA
-            # path too and are a transport property (long single XLA
-            # executions kill the relay worker), not a kernel fault.
-            impl = "pallas"
-        else:
-            # non-128-multiple N (arbitrary image sizes) or non-TPU backend
-            impl = "flash"
-    elif impl == "pallas":
-        # Forced (use_pallas=True): assert instead of silently degrading —
-        # a knob that can't assert its own setting masks regressions.
-        from lunaris_orion_tpu.ops.pallas.flash_attention import supported_seq_len
-        if jax.default_backend() != "tpu":
-            raise RuntimeError(
-                "use_pallas=True requires a TPU backend (got "
-                f"{jax.default_backend()!r}); use use_pallas=None for auto "
-                "fallback or use_pallas=False for the XLA path")
-        if not supported_seq_len(n):
-            raise ValueError(
-                f"use_pallas=True: sequence length {n} (= {h}x{w}) is not a "
-                "multiple of 128; the Mosaic kernel cannot tile it")
-        mod = 16 if q.dtype == jnp.bfloat16 else 8
-        if head_dim % mod != 0:
-            # Same sublane-tiling gate the auto path enforces: without it a
-            # forced run surfaces as an opaque Mosaic compile error.
-            raise ValueError(
-                f"use_pallas=True: head_dim {head_dim} is not a multiple of "
-                f"{mod} (Mosaic sublane tiling for {q.dtype}); use a "
-                "feature_dim whose head_dim satisfies this, or "
-                "use_pallas=None/False")
-    if impl == "ring":
-        if cp_mesh is None or cp_axis is None:
-            raise ValueError("impl='ring' needs cp_mesh and cp_axis")
-        if n % cp_mesh.shape[cp_axis] != 0:
-            raise ValueError(
-                f"impl='ring': N={n} not divisible by mesh axis "
-                f"{cp_axis!r} size {cp_mesh.shape[cp_axis]}")
-        from lunaris_orion_tpu.parallel.ring_attention import (
-            ring_attention_sharded)
-        seed = None
-        rate = 0.0
-        if drop_active:
-            rate = dropout_rate
-            seed = jax.random.randint(attn_rng, (), 0, 2**31 - 1, jnp.int32)
-        out = ring_attention_sharded(q, k, v, bias, mesh=cp_mesh,
-                                     axis=cp_axis, dropout_rate=rate,
-                                     seed=seed)
-    elif impl == "full":
-        out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
-                             rng=attn_rng, train=train)
-    elif impl == "pallas":
-        from lunaris_orion_tpu.ops.pallas.flash_attention import attention_bhnd
-        seed = None
-        rate = 0.0
-        if drop_active:
-            rate = dropout_rate
-            seed = jax.random.randint(attn_rng, (), 0, 2**31 - 1, jnp.int32)
-        out = attention_bhnd(q, k, v, bias, dropout_rate=rate, seed=seed)
     else:
-        out = flash_attention_xla(q, k, v, bias, block_q=block_q,
-                                  block_k=block_k, dropout_rate=dropout_rate,
-                                  rng=attn_rng, train=train)
+        if impl == "auto":
+            from lunaris_orion_tpu.ops import dispatch
+            from lunaris_orion_tpu.ops.pallas.flash_attention import (
+                supported_seq_len)
+            if n <= 1024:
+                impl = "full"
+            elif (dispatch.choose("attention") == "pallas"
+                  and supported_seq_len(n)
+                  and head_dim % (16 if q.dtype == jnp.bfloat16 else 8) == 0):
+                # head_dim gate = Mosaic sublane tiling (bf16 16 / f32 8).
+                # d in {8, 16, 48, 64} is hardware-validated
+                # (tools/tpu_validate_attention.py PASS, 2026-08-17). Earlier
+                # worker crashes attributed to d=48 reproduced on the pure-XLA
+                # path too and are a transport property (long single XLA
+                # executions kill the relay worker), not a kernel fault.
+                impl = "pallas"
+            else:
+                # non-128-multiple N (arbitrary sizes) or non-TPU backend
+                impl = "flash"
+        elif impl == "pallas":
+            # Forced (use_pallas=True): assert instead of silently degrading
+            # — a knob that can't assert its own setting masks regressions.
+            from lunaris_orion_tpu.ops.pallas.flash_attention import (
+                supported_seq_len)
+            if jax.default_backend() != "tpu":
+                raise RuntimeError(
+                    "use_pallas=True requires a TPU backend (got "
+                    f"{jax.default_backend()!r}); use use_pallas=None for "
+                    "auto fallback or use_pallas=False for the XLA path")
+            if not supported_seq_len(n):
+                raise ValueError(
+                    f"use_pallas=True: sequence length {n} (= {h}x{w}) is "
+                    "not a multiple of 128; the Mosaic kernel cannot tile it")
+            mod = 16 if q.dtype == jnp.bfloat16 else 8
+            if head_dim % mod != 0:
+                # Same sublane-tiling gate the auto path enforces: without it
+                # a forced run surfaces as an opaque Mosaic compile error.
+                raise ValueError(
+                    f"use_pallas=True: head_dim {head_dim} is not a multiple "
+                    f"of {mod} (Mosaic sublane tiling for {q.dtype}); use a "
+                    "feature_dim whose head_dim satisfies this, or "
+                    "use_pallas=None/False")
+        if impl == "ring":
+            if cp_mesh is None or cp_axis is None:
+                raise ValueError("impl='ring' needs cp_mesh and cp_axis")
+            if n % cp_mesh.shape[cp_axis] != 0:
+                raise ValueError(
+                    f"impl='ring': N={n} not divisible by mesh axis "
+                    f"{cp_axis!r} size {cp_mesh.shape[cp_axis]}")
+            from lunaris_orion_tpu.parallel.ring_attention import (
+                ring_attention_sharded)
+            seed = None
+            rate = 0.0
+            if drop_active:
+                rate = dropout_rate
+                seed = jax.random.randint(attn_rng, (), 0, 2**31 - 1,
+                                          jnp.int32)
+            out = ring_attention_sharded(q, k, v, bias, mesh=cp_mesh,
+                                         axis=cp_axis, dropout_rate=rate,
+                                         seed=seed)
+        elif impl == "full":
+            out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
+                                 rng=attn_rng, train=train)
+        elif impl == "pallas":
+            from lunaris_orion_tpu.ops.pallas.flash_attention import (
+                attention_bhnd)
+            seed = None
+            rate = 0.0
+            if drop_active:
+                rate = dropout_rate
+                seed = jax.random.randint(attn_rng, (), 0, 2**31 - 1,
+                                          jnp.int32)
+            out = attention_bhnd(q, k, v, bias, dropout_rate=rate, seed=seed)
+        else:
+            out = flash_attention_xla(q, k, v, bias, block_q=block_q,
+                                      block_k=block_k,
+                                      dropout_rate=dropout_rate,
+                                      rng=attn_rng, train=train)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
     out = layers.conv2d(params["proj"], out)

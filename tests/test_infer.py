@@ -87,3 +87,24 @@ class TestEvaluator:
         ev = QualityEvaluator(str(ckpt_dir))
         results = ev.score_directory(str(tmp_path), batch_size=4)
         assert len(results) == 6
+
+    def test_score_directory_window_fallback(self, ckpt_dir, tmp_path):
+        """A shape group whose token count the attn_window override cannot
+        tile (N=256, window=96) falls back to global attention for that
+        group instead of aborting and losing all results — and the fallback
+        scores equal the window-free evaluator's."""
+        from PIL import Image
+        from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+
+        r = np.random.default_rng(3)
+        for i in range(3):
+            img = r.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            Image.fromarray(img).save(tmp_path / f"s_{i}.png")
+        ev = QualityEvaluator(str(ckpt_dir), attn_window=96)
+        results = ev.score_directory(str(tmp_path), batch_size=2)
+        assert len(results) == 3
+        ref = QualityEvaluator(str(ckpt_dir)).score_directory(
+            str(tmp_path), batch_size=2)
+        for name, s in results.items():
+            np.testing.assert_allclose(s["mean_quality"],
+                                       ref[name]["mean_quality"], rtol=1e-5)

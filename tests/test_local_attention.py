@@ -159,6 +159,29 @@ class TestModuleAndConfig:
             attn.spatial_attention_reference(p, x, num_heads=4, window=16,
                                              impl="ring")
 
+    def test_window_rejects_forced_pallas(self, rng):
+        """use_pallas=True is an assertion; the window path must refuse it
+        rather than silently substituting the XLA local path."""
+        p = attn.attention_init(rng, 16, num_heads=4, rel_pos_size=4)
+        x = jax.random.normal(rng, (1, 8, 8, 16))
+        with pytest.raises(ValueError, match="pallas"):
+            attn.spatial_attention_reference(p, x, num_heads=4, window=16,
+                                             impl="pallas")
+
+    def test_nonpositive_window_raises(self, rng):
+        """window<=0 must fail with a validation message, not
+        ZeroDivisionError / an opaque negative-dim reshape error.
+        (TrainConfig 0 means global and is normalized at the config seam,
+        config.py teacher_config; these are direct-caller values.)"""
+        q, k, v, bias = _qkvb(rng, n=256)
+        with pytest.raises(ValueError, match="positive"):
+            attn.local_window_attention(q, k, v, bias, window=0)
+        p = attn.attention_init(rng, 16, num_heads=4, rel_pos_size=4)
+        x = jax.random.normal(rng, (1, 8, 8, 16))
+        for w in (0, -64):
+            with pytest.raises(ValueError, match="positive"):
+                attn.spatial_attention_reference(p, x, num_heads=4, window=w)
+
     def test_config_threading(self):
         cfg = TrainConfig(attn_window=512)
         assert cfg.teacher_config().attn_window == 512

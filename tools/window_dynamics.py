@@ -59,7 +59,7 @@ def run_mode(window: int, steps: int, batch: int):
             if k in metrics:
                 traj[k].append(float(metrics[k]))
     wall = time.time() - t0
-    return {"window": window or "global", "steps": steps,
+    return {"window": window or "global", "steps": steps, "batch": batch,
             "wall_s": round(wall, 1),
             "ms_per_step": round(1e3 * wall / steps, 1),
             "trajectories": {k: v for k, v in traj.items() if v}}
@@ -78,7 +78,10 @@ def main():
         results = json.loads(OUT.read_text())
     for w in [int(x) for x in args.windows.split(",")]:
         name = str(w or "global")
-        if name in results and results[name]["steps"] >= args.steps:
+        if (name in results and results[name]["steps"] >= args.steps
+                and results[name].get("batch") == args.batch):
+            # batch is part of the cache key: a rerun at a different batch
+            # must re-measure, not present stale trajectories as evidence
             print(f"{name}: cached", flush=True)
             continue
         print(f"running window={name} for {args.steps} steps...", flush=True)
