@@ -82,10 +82,12 @@ def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, p: int, with_mish: bool):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
-                           *, groups: int = 8, eps: float = 1e-5,
-                           with_mish: bool = True) -> jax.Array:
-    """x: [B, H, W, C] -> mish(GroupNorm(groups)(x)*scale+bias) (mish opt.)."""
+def _lane_sums(x: jax.Array):
+    """Pass-1 pallas_call: per-lane-period s1 = sum(x), s2 = sum(x^2).
+
+    x: [B, H, W, C] viewed as [B, M, 128]. Returns (s1, s2) each
+    [B, P, 128] f32 plus the (m, p, tn) tiling. Shared by the fused
+    GN+Mish kernel and the stats-only entry point below."""
     b, h, w, c = x.shape
     assert supported_shape(h, w, c), (h, w, c)
     m = (h * w * c) // LANES
@@ -114,15 +116,47 @@ def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interp,
     )(xr)
+    return s1, s2, (m, p, tn)
+
+
+def _channel_sums(s1, s2, c):
+    """Fold [B, P, 128] lane sums to per-channel [B, C]."""
+    b = s1.shape[0]
+    if c >= LANES:
+        return s1.reshape(b, c), s2.reshape(b, c)
+    k = LANES // c                                  # pixels per lane row
+    return (jnp.sum(s1.reshape(b, k, c), axis=1),
+            jnp.sum(s2.reshape(b, k, c), axis=1))
+
+
+def group_stats_pallas(x: jax.Array, *, groups: int = 8, eps: float = 1e-5):
+    """Stats-only entry: per-(B, G) (mean, inv_std) of GroupNorm over
+    [B, H, W, C] — the Pallas replacement for ONLY the moment-reduction
+    pass (XLA's standalone convert_reduce fusions), leaving the normalize/
+    mish apply to XLA's conv fusions. Matches layers._gn_stats."""
+    b, h, w, c = x.shape
+    s1, s2, _ = _lane_sums(x)
+    s1c, s2c = _channel_sums(s1, s2, c)
+    cg = c // groups
+    n_set = h * w * cg
+    gmean = jnp.sum(s1c.reshape(b, groups, cg), axis=2) / n_set
+    gvar = jnp.sum(s2c.reshape(b, groups, cg), axis=2) / n_set
+    gvar = jnp.maximum(gvar - jnp.square(gmean), 0.0)
+    return gmean, jax.lax.rsqrt(gvar + eps)
+
+
+def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                           *, groups: int = 8, eps: float = 1e-5,
+                           with_mish: bool = True) -> jax.Array:
+    """x: [B, H, W, C] -> mish(GroupNorm(groups)(x)*scale+bias) (mish opt.)."""
+    b, h, w, c = x.shape
+    s1, s2, (m, p, tn) = _lane_sums(x)
+    grid = (b, m // tn)
+    interp = jax.default_backend() != "tpu"
+    xr = x.reshape(b, m, LANES)
 
     # --- tiny XLA glue: lane sums -> channel -> group stats -> affine ------
-    if c >= LANES:
-        s1c = s1.reshape(b, c)                      # row p = channels p*128..
-        s2c = s2.reshape(b, c)
-    else:
-        k = LANES // c                              # pixels per lane row
-        s1c = jnp.sum(s1.reshape(b, k, c), axis=1)
-        s2c = jnp.sum(s2.reshape(b, k, c), axis=1)
+    s1c, s2c = _channel_sums(s1, s2, c)
     cg = c // groups
     n_set = h * w * cg
     gs1 = jnp.sum(s1c.reshape(b, groups, cg), axis=2)

@@ -50,6 +50,22 @@ class TestGNMish:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    @pytest.mark.parametrize("shape", [(2, 16, 16, 64), (2, 8, 8, 256),
+                                       (2, 16, 16, 32)])
+    def test_stats_only_entry(self, rng, shape):
+        """group_stats_pallas (the stats-only probe behind the r3
+        reduction-bandwidth investigation, BASELINE.md 'GN-statistics
+        reductions') matches layers._gn_stats."""
+        from lunaris_orion_tpu.ops.layers import _gn_stats
+        from lunaris_orion_tpu.ops.pallas.gn_mish import group_stats_pallas
+        x = jax.random.normal(rng, shape, jnp.float32) * 3.0 + 1.0
+        m_ref, i_ref = _gn_stats(x, 8, 1e-5)
+        m, i = group_stats_pallas(x, groups=8)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(m_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(i), np.asarray(i_ref),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestFusedStage:
     """K5 — GN-apply+Mish+conv3x3 megakernel (ops/pallas/fused_stage.py)."""

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""GN stats pass, round 2: can ANY formulation beat XLA's ~330 GB/s at the
+big stages? Variants:
+
+  xla        — _gn_stats (convert_reduce baseline)
+  xla_staged — reduce W then H (different tiling choice)
+  xla_bf16   — accumulate s1/s2 in bf16->f32 pairwise (precision loosened,
+               measurement only)
+  pal_tnK    — existing serialized-accumulation kernel, tile rows K
+  pal_par    — parallel partial-sums kernel (grid fully parallel, tiny XLA
+               sum over tile partials) — removes the revisited-output
+               serialization
+"""
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LANES = 128
+SHAPES = [(128, 128, 128, 32), (128, 128, 128, 64), (128, 64, 64, 128)]
+
+
+def measure(make_fn, x, iters=200):
+    def body(c, _):
+        out = make_fn(c)
+        bump = sum(jnp.sum(o) for o in out).astype(x.dtype)
+        return c + bump * 1e-9, None
+
+    res = {}
+    for k in (1, 1 + iters):
+        fn = jax.jit(lambda v: jnp.sum(
+            lax.scan(body, v, None, length=k)[0].astype(jnp.float32)))
+        float(fn(x))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            float(fn(x))
+            best = min(best, time.time() - t0)
+        res[k] = best
+    return (res[1 + iters] - res[1]) / iters
+
+
+def _par_kernel(x_ref, s1_ref, s2_ref, *, p: int):
+    x = x_ref[0].astype(jnp.float32)
+    tn = x.shape[0]
+    s1_ref[0, 0] = jnp.sum(x.reshape(tn // p, p, LANES), axis=0)
+    s2_ref[0, 0] = jnp.sum(jnp.square(x).reshape(tn // p, p, LANES), axis=0)
+
+
+def pal_par(x, tn_rows):
+    b, h, w, c = x.shape
+    m = (h * w * c) // LANES
+    p = max(c // LANES, 1)
+    tn = min(m, tn_rows)
+    nt = m // tn
+    xr = x.reshape(b, m, LANES)
+    s1, s2 = pl.pallas_call(
+        functools.partial(_par_kernel, p=p),
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec((1, tn, LANES), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, 1, p, LANES), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, LANES), lambda i, t: (i, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nt, p, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, p, LANES), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(xr)
+    return jnp.sum(s1, axis=1), jnp.sum(s2, axis=1)
+
+
+def main():
+    from lunaris_orion_tpu.ops.layers import _gn_stats
+    from lunaris_orion_tpu.ops.pallas import gn_mish as K
+
+    print("device:", jax.devices()[0].device_kind, flush=True)
+    for shape in SHAPES:
+        b, h, w, c = shape
+        x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
+        read_gb = x.size * 2 / 1e9
+        rows = []
+
+        rows.append(("xla", measure(
+            lambda v: _gn_stats(v.astype(jnp.float32), 8, 1e-5), x)))
+
+        def staged(v):
+            v32 = v.astype(jnp.float32)
+            s1 = jnp.sum(jnp.sum(v32, axis=2), axis=1)
+            s2 = jnp.sum(jnp.sum(jnp.square(v32), axis=2), axis=1)
+            return s1, s2
+        rows.append(("xla_staged", measure(staged, x)))
+
+        def bf16acc(v):
+            s1 = jnp.sum(v, axis=(1, 2), dtype=jnp.float32)
+            s2 = jnp.sum(jnp.square(v), axis=(1, 2), dtype=jnp.float32)
+            return s1, s2
+        rows.append(("xla_bf16sq", measure(bf16acc, x)))
+
+        for tn in (512, 2048, 8192):
+            if ((h * w * c) // LANES) % min((h * w * c) // LANES, tn):
+                continue
+            K.MAX_TILE_ROWS = tn
+            rows.append((f"pal_ser_tn{tn}", measure(
+                lambda v: K.group_stats_pallas(v, groups=8), x)))
+        K.MAX_TILE_ROWS = 512
+
+        for tn in (512, 2048):
+            rows.append((f"pal_par_tn{tn}", measure(
+                lambda v: pal_par(v, tn), x)))
+
+        print(f"shape {shape}:")
+        for tag, t in rows:
+            print(f"  {tag:>14} {t*1e3:8.3f} ms  {read_gb/t:6.0f} GB/s",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
