@@ -24,6 +24,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "128px; a documented quality/compute deviation — "
                         "docs/parity.md). Default: the checkpoint's "
                         "setting (global)")
+    p.add_argument("--bf16", action="store_true",
+                   help="score in bfloat16 activations (closer to the "
+                        "reference's fp16-autocast attention numerics, "
+                        "lunar_evaluator.py:188, and faster on TPU; "
+                        "default f32)")
     return p
 
 
@@ -35,7 +40,7 @@ def main(argv=None) -> int:
     from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
 
     ev = QualityEvaluator(args.checkpoint, best=args.best,
-                          attn_window=args.attn_window)
+                          attn_window=args.attn_window, bf16=args.bf16)
     results = ev.score_directory(args.input, batch_size=args.batch_size)
     if args.output:
         with open(args.output, "w") as f:

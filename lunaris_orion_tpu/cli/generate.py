@@ -26,6 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_metadata", action="store_true")
     p.add_argument("--best", action="store_true",
                    help="load the best checkpoint instead of latest")
+    p.add_argument("--bf16", action="store_true",
+                   help="decode+score in bfloat16 (closer to the "
+                        "reference's fp16-autocast attention numerics, "
+                        "lunar_evaluator.py:188, and faster on TPU; "
+                        "default f32)")
     return p
 
 
@@ -36,7 +41,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     from lunaris_orion_tpu.infer.generator import ImageGenerator
 
-    gen = ImageGenerator(args.checkpoint, best=args.best)
+    gen = ImageGenerator(args.checkpoint, best=args.best, bf16=args.bf16)
     images, metadata = gen.generate(
         args.num_samples, temperature=args.temperature,
         quality_threshold=args.quality_threshold,

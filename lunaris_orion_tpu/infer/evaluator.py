@@ -22,11 +22,17 @@ from lunaris_orion_tpu.models import teacher as teacher_mod
 class QualityEvaluator:
     def __init__(self, checkpoint_dir: str, *, best: bool = False,
                  config: Optional[TrainConfig] = None,
-                 attn_window: Optional[int] = None):
+                 attn_window: Optional[int] = None, bf16: bool = False):
         """attn_window: override the teacher's attention window for scoring
         (local-window attention, docs/parity.md deviation 12) — batch
         scoring is ~7x faster at window 256 on 128px inputs. None keeps
-        the checkpoint's own setting."""
+        the checkpoint's own setting.
+
+        bf16: score in bfloat16 activations — CLOSER to the reference's
+        numerics than f32 (its attention forward autocasts to fp16 on GPU
+        unconditionally, lunar_evaluator.py:188) and measured faster on
+        TPU; f32 (default) keeps exact-parity scoring."""
+        self._compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
         if str(checkpoint_dir).endswith(".pt"):
             # Reference torch checkpoints score directly (weights via
             # utils.torch_compat, config from the vars(args) snapshot).
@@ -66,11 +72,16 @@ class QualityEvaluator:
         self._score_global = None  # lazy window-free fallback
 
     def _make_score(self, tcfg):
+        dtype = self._compute_dtype
+
         @jax.jit
         def _score(tp, ts, x):
-            out, _ = teacher_mod.apply(tp, ts, x, cfg=tcfg, train=False)
-            return (out["quality_scores"], out["expert_weights"],
-                    out["semantic_score"], out["style_embedding"])
+            out, _ = teacher_mod.apply(tp, ts, x.astype(dtype), cfg=tcfg,
+                                       train=False)
+            return (out["quality_scores"].astype(jnp.float32),
+                    out["expert_weights"].astype(jnp.float32),
+                    out["semantic_score"].astype(jnp.float32),
+                    out["style_embedding"].astype(jnp.float32))
 
         return _score
 

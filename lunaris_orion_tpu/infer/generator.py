@@ -34,7 +34,13 @@ class ImageGenerator:
     """Loads a training checkpoint and generates quality-filtered sprites."""
 
     def __init__(self, checkpoint_dir: str, *, best: bool = False,
-                 config: Optional[TrainConfig] = None):
+                 config: Optional[TrainConfig] = None, bf16: bool = False):
+        """bf16=True runs decode+score in bfloat16 (params stay f32 in the
+        checkpoint; activations carry the compute dtype). This is CLOSER to
+        the reference's inference numerics than f32 scoring — its attention
+        forward is wrapped in @torch.amp.autocast('cuda') unconditionally
+        (lunar_evaluator.py:188), so reference scoring runs half precision
+        on GPU — while f32 (default) keeps exact-parity scoring."""
         if str(checkpoint_dir).endswith(".pt"):
             # A reference torch checkpoint works directly: weights convert
             # via utils.torch_compat, the model config comes from the
@@ -76,14 +82,16 @@ class ImageGenerator:
             self.step = int(state.step)
 
         vcfg, tcfg = self.vcfg, self.tcfg
+        compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
         @jax.jit
         def _decode_and_score(vp, tp, ts, z):
-            imgs = vae_mod.decode(vp["decoder"], z, [], vcfg)
+            imgs = vae_mod.decode(vp["decoder"], z.astype(compute_dtype),
+                                  [], vcfg)
             out, _ = teacher_mod.apply(tp, ts, imgs, cfg=tcfg, train=False)
             quality = jnp.mean(out["quality_scores"].astype(jnp.float32), -1)
-            sem = out["semantic_score"][:, 0]
-            return imgs, quality, sem
+            sem = out["semantic_score"][:, 0].astype(jnp.float32)
+            return imgs.astype(jnp.float32), quality, sem
 
         self._decode_and_score = _decode_and_score
 

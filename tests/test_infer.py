@@ -88,6 +88,26 @@ class TestEvaluator:
         results = ev.score_directory(str(tmp_path), batch_size=4)
         assert len(results) == 6
 
+    def test_bf16_scoring_close_to_f32(self, ckpt_dir):
+        """--bf16 scoring (reference-autocast-like numerics) stays close to
+        the f32 path and returns f32 finite fields."""
+        from lunaris_orion_tpu.infer.evaluator import QualityEvaluator
+        imgs = np.random.default_rng(1).integers(
+            0, 256, (4, 16, 16, 3), dtype=np.uint8)
+        s32 = QualityEvaluator(str(ckpt_dir)).score_batch(imgs)
+        s16 = QualityEvaluator(str(ckpt_dir), bf16=True).score_batch(imgs)
+        for a, b in zip(s32, s16):
+            assert np.isfinite(b["mean_quality"])
+            assert abs(a["mean_quality"] - b["mean_quality"]) < 0.05
+            assert abs(a["semantic_score"] - b["semantic_score"]) < 0.05
+
+    def test_bf16_generation(self, ckpt_dir):
+        from lunaris_orion_tpu.infer.generator import ImageGenerator
+        gen = ImageGenerator(str(ckpt_dir), bf16=True)
+        imgs, meta = gen.generate(2, quality_threshold=0.0, seed=3)
+        assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+        assert all(np.isfinite(m["quality"]) for m in meta)
+
     def test_score_directory_window_fallback(self, ckpt_dir, tmp_path):
         """A shape group whose token count the attn_window override cannot
         tile (N=256, window=96) falls back to global attention for that

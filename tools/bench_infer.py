@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--attn_window", type=int, default=0,
                     help=">0: teacher scores with local-window attention "
                          "(docs/parity.md deviation 12)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="decode+score in bf16 activations (the "
+                         "infer --bf16 knob; reference autocast parity)")
     args = ap.parse_args()
 
     vcfg = VAEConfig(latent_dim=args.latent)
@@ -81,8 +84,10 @@ def main():
         img = vae_mod.decode(dec_bf16, zz, [], vcfg)
         return jnp.sum(img.astype(jnp.float32))
 
+    score_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
     def decode_score(zz):
-        img = vae_mod.decode(vp["decoder"], zz.astype(jnp.float32),
+        img = vae_mod.decode(vp["decoder"], zz.astype(score_dtype),
                              [], vcfg)
         out, _ = teacher_mod.apply(tp, ts, img, cfg=tcfg, train=False)
         q = jnp.mean(out["quality_scores"].astype(jnp.float32))
