@@ -132,18 +132,29 @@ class QualityEvaluator:
             # One uniform-shape group. An attn_window override may not tile
             # this shape's token count (e.g. odd-sized montage PNGs): fall
             # back to the faithful global path for the group instead of
-            # aborting the run and losing every already-scored group.
+            # aborting the run and losing every already-scored group. The
+            # switch is surfaced (attn_window is a scoring deviation, so
+            # windowed and global scores must not mix silently): a warning
+            # per group + an "attn_mode" field on the affected entries.
+            from lunaris_orion_tpu.ops.attention import WindowTilingError
             global_attn = False
             for start in range(0, len(pairs), batch_size):
                 chunk = pairs[start:start + batch_size]
                 imgs = np.stack([a for _, a in chunk])
                 try:
                     scores = self.score_batch(imgs, global_attn=global_attn)
-                except ValueError as e:
-                    if "must divide" not in str(e):
-                        raise
+                except WindowTilingError as e:
+                    import warnings
+                    warnings.warn(
+                        f"attn_window cannot tile shape {imgs.shape[1:]} "
+                        f"({e}); scoring this group with global attention "
+                        "— its scores are marked attn_mode="
+                        "'global-fallback'", stacklevel=3)
                     global_attn = True
                     scores = self.score_batch(imgs, global_attn=True)
+                if global_attn:
+                    for s in scores:
+                        s["attn_mode"] = "global-fallback"
                 for (key, _), s in zip(chunk, scores):
                     results[key] = s
 

@@ -182,6 +182,13 @@ def full_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     return out.astype(q.dtype)
 
 
+class WindowTilingError(ValueError):
+    """A window override cannot tile this input's token count (N % window
+    != 0). A dedicated type so callers that degrade gracefully (e.g.
+    QualityEvaluator.score_directory's per-group global fallback) catch
+    the contract, not an error-message substring."""
+
+
 def local_window_attention(q, k, v, bias, *, window: int,
                            dropout_rate: float = 0.0,
                            rng: Optional[jax.Array] = None,
@@ -207,7 +214,7 @@ def local_window_attention(q, k, v, bias, *, window: int,
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
     if n % window != 0:
-        raise ValueError(f"window {window} must divide N={n}")
+        raise WindowTilingError(f"window {window} must divide N={n}")
     nw = n // window
 
     def per_win(t):  # [B, h, N, d] -> [nW, B, h, W, d]

@@ -129,6 +129,21 @@ def _channel_sums(s1, s2, c):
             jnp.sum(s2.reshape(b, k, c), axis=1))
 
 
+def _fold_stats(s1, s2, c: int, groups: int, eps: float, n_set: int):
+    """Lane sums [B, P, 128] -> per-(B, G) (mean, inv_std). One shared
+    implementation of the group fold (incl. the cancellation clamp: in f32
+    E[x^2]-mean^2 can go slightly negative when |mean| >> std and NaN
+    through rsqrt) so the fused kernel and the stats-only entry cannot
+    drift."""
+    b = s1.shape[0]
+    cg = c // groups
+    s1c, s2c = _channel_sums(s1, s2, c)
+    gmean = jnp.sum(s1c.reshape(b, groups, cg), axis=2) / n_set
+    gvar = jnp.sum(s2c.reshape(b, groups, cg), axis=2) / n_set
+    gvar = jnp.maximum(gvar - jnp.square(gmean), 0.0)
+    return gmean, jax.lax.rsqrt(gvar + eps)
+
+
 def group_stats_pallas(x: jax.Array, *, groups: int = 8, eps: float = 1e-5):
     """Stats-only entry: per-(B, G) (mean, inv_std) of GroupNorm over
     [B, H, W, C] — the Pallas replacement for ONLY the moment-reduction
@@ -136,13 +151,7 @@ def group_stats_pallas(x: jax.Array, *, groups: int = 8, eps: float = 1e-5):
     mish apply to XLA's conv fusions. Matches layers._gn_stats."""
     b, h, w, c = x.shape
     s1, s2, _ = _lane_sums(x)
-    s1c, s2c = _channel_sums(s1, s2, c)
-    cg = c // groups
-    n_set = h * w * cg
-    gmean = jnp.sum(s1c.reshape(b, groups, cg), axis=2) / n_set
-    gvar = jnp.sum(s2c.reshape(b, groups, cg), axis=2) / n_set
-    gvar = jnp.maximum(gvar - jnp.square(gmean), 0.0)
-    return gmean, jax.lax.rsqrt(gvar + eps)
+    return _fold_stats(s1, s2, c, groups, eps, h * w * (c // groups))
 
 
 def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -156,16 +165,8 @@ def group_norm_mish_pallas(x: jax.Array, scale: jax.Array, bias: jax.Array,
     xr = x.reshape(b, m, LANES)
 
     # --- tiny XLA glue: lane sums -> channel -> group stats -> affine ------
-    s1c, s2c = _channel_sums(s1, s2, c)
     cg = c // groups
-    n_set = h * w * cg
-    gs1 = jnp.sum(s1c.reshape(b, groups, cg), axis=2)
-    gs2 = jnp.sum(s2c.reshape(b, groups, cg), axis=2)
-    mean_g = gs1 / n_set
-    # clamp: E[x^2]-mean^2 can go slightly negative in f32 under
-    # catastrophic cancellation (|mean| >> std) -> NaN through rsqrt
-    var_g = jnp.maximum(gs2 / n_set - jnp.square(mean_g), 0.0)
-    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_g, inv_g = _fold_stats(s1, s2, c, groups, eps, h * w * cg)
     alpha_c = jnp.repeat(inv_g, cg, axis=1) * scale.astype(jnp.float32)
     beta_c = (bias.astype(jnp.float32)
               - jnp.repeat(mean_g * inv_g, cg, axis=1)

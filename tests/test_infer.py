@@ -121,10 +121,14 @@ class TestEvaluator:
             img = r.integers(0, 256, (16, 16, 3), dtype=np.uint8)
             Image.fromarray(img).save(tmp_path / f"s_{i}.png")
         ev = QualityEvaluator(str(ckpt_dir), attn_window=96)
-        results = ev.score_directory(str(tmp_path), batch_size=2)
+        with pytest.warns(UserWarning, match="global-fallback"):
+            results = ev.score_directory(str(tmp_path), batch_size=2)
         assert len(results) == 3
         ref = QualityEvaluator(str(ckpt_dir)).score_directory(
             str(tmp_path), batch_size=2)
         for name, s in results.items():
+            # the mode switch is marked, never silent (scores deviate
+            # between window and global modes by design)
+            assert s["attn_mode"] == "global-fallback"
             np.testing.assert_allclose(s["mean_quality"],
                                        ref[name]["mean_quality"], rtol=1e-5)

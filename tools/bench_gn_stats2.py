@@ -111,13 +111,16 @@ def main():
             return s1, s2
         rows.append(("xla_bf16sq", measure(bf16acc, x)))
 
-        for tn in (512, 2048, 8192):
-            if ((h * w * c) // LANES) % min((h * w * c) // LANES, tn):
-                continue
-            K.MAX_TILE_ROWS = tn
-            rows.append((f"pal_ser_tn{tn}", measure(
-                lambda v: K.group_stats_pallas(v, groups=8), x)))
-        K.MAX_TILE_ROWS = 512
+        orig_rows = K.MAX_TILE_ROWS
+        try:
+            for tn in (512, 2048, 8192):
+                if ((h * w * c) // LANES) % min((h * w * c) // LANES, tn):
+                    continue
+                K.MAX_TILE_ROWS = tn
+                rows.append((f"pal_ser_tn{tn}", measure(
+                    lambda v: K.group_stats_pallas(v, groups=8), x)))
+        finally:
+            K.MAX_TILE_ROWS = orig_rows
 
         for tn in (512, 2048):
             rows.append((f"pal_par_tn{tn}", measure(
