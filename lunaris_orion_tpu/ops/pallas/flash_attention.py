@@ -70,14 +70,23 @@ BWD_BLOCK_K = 1024
 # the extra casts cost; probabilities therefore stay f32 until the MXU cast.
 
 # Single-pass fused backward (see _bwd_fused_kernel): computes exp/masks
-# once per tile pair instead of once per backward kernel, but measured 9%
-# SLOWER than the two-kernel decomposition on v5e (166.3 vs 152.0 ms
-# fwd+bwd at the production shape, dropout 0.1) — the whole-row dq
-# accumulator + full q/do blocks crowd VMEM and cost more in lost DMA
-# double-buffering than the recompute saves. Off by default; set
-# LUNARIS_ATTN_FUSED_BWD=1 to re-measure on other hardware.
+# once per tile pair instead of once per backward kernel. DEFAULT ON where
+# the dq-accumulator VMEM gate passes (r3 correction, BASELINE.md "fused
+# backward, re-measured honestly"): the r2 "9% slower" rejection
+# (166.3 vs 152.0 ms) was a benchmarking artifact — its jax.grad was taken
+# w.r.t. q ONLY, which let XLA dead-code-eliminate the ENTIRE dkv kernel
+# from the two-kernel path. With grads w.r.t. all inputs (what training
+# actually computes): two-kernel 283.8 ms vs fused 167.8 ms fwd+bwd at the
+# production shape (B8 H8 N16384 d16, dropout 0.1) — fused is 1.69x
+# faster. Set LUNARIS_ATTN_FUSED_BWD=0 to restore the two-kernel
+# decomposition (still the only path when d*N*4 > 2 MB, e.g. d=64 at
+# N=16384).
 import os as _os
-FUSED_BWD = _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "0") == "1"
+
+
+def _fused_bwd() -> bool:
+    """Read at call time so tests/benchmarks can toggle without reload."""
+    return _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "1") == "1"
 
 # r3 item-8 experiment knobs (BASELINE.md records the measurements):
 #  LUNARIS_ATTN_EXP2=1   — carry scores in the log2 domain: q and bias are
@@ -560,7 +569,7 @@ def _vjp_bwd(dropout_rate, res, doT):
     # d=16 shapes, 1 MB; d=64 at N=16384 is 4 MB and takes the validated
     # two-kernel decomposition instead); the gate matches the documented
     # 2 MB bound the kernel's VMEM sizing analysis covers.
-    if FUSED_BWD and d * n * 4 <= 2**21:
+    if _fused_bwd() and d * n * 4 <= 2**21:
         dq32, dk, dv, dbias_bh = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, block_q=bq,
                               dropout_rate=dropout_rate,

@@ -61,22 +61,32 @@ def bench_attention():
           f"{flops/dt/1e12:.1f} TF/s", flush=True)
 
     def make_bwd(kk, rate=0.0):
-        def loss(q):
-            return jnp.sum(fa.attention_bhnd(q, k, v, bias, dropout_rate=rate,
+        # Grads w.r.t. ALL inputs — what the training step computes. The
+        # r2 version differentiated w.r.t. q only, which let XLA
+        # dead-code-eliminate the entire dkv kernel from the two-kernel
+        # path and produced the spurious "fused backward 9% slower"
+        # comparison (BASELINE.md r3 "fused backward, re-measured
+        # honestly").
+        def loss(q, k, v, bias):
+            return jnp.sum(fa.attention_bhnd(q, k, v, bias,
+                                             dropout_rate=rate,
                                              seed=jnp.int32(7))
                            .astype(jnp.float32) ** 2)
 
         @jax.jit
-        def run(q):
+        def run(q, k, v, bias):
             def body(c, i):
-                g = jax.grad(loss)(c)
-                return c + 1e-6 * g.astype(c.dtype), jnp.float32(0)
-            o, _ = jax.lax.scan(body, q, jnp.arange(kk))
-            return jnp.sum(o.astype(jnp.float32))
-        return lambda: float(run(q))
+                gq, gk, gv, gb = jax.grad(loss, argnums=(0, 1, 2, 3))(*c)
+                return (c[0] + 1e-6 * gq.astype(c[0].dtype),
+                        c[1] + 1e-6 * gk.astype(c[1].dtype),
+                        c[2] + 1e-6 * gv.astype(c[2].dtype),
+                        c[3] + 1e-6 * gb.astype(c[3].dtype)), jnp.float32(0)
+            cs, _ = jax.lax.scan(body, (q, k, v, bias), jnp.arange(kk))
+            return jnp.sum(cs[0].astype(jnp.float32))
+        return lambda: float(run(q, k, v, bias))
 
     dt = slope(make_bwd, 1, 5)
-    print(f"pallas attn fwd+bwd: {dt*1e3:.1f} ms/call = "
+    print(f"pallas attn fwd+bwd (all-input grads): {dt*1e3:.1f} ms/call = "
           f"{3.5*flops/dt/1e12:.1f} TF/s-equiv", flush=True)
 
     dt = slope(lambda kk: make_bwd(kk, 0.1), 1, 5)
