@@ -71,6 +71,42 @@ def _fmt(metrics: dict) -> str:
     return " ".join(f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
 
 
+def compute_embed_table(embed_fn, state, dataset, *, batch_size: int,
+                        embedding_dim: int, shard) -> np.ndarray:
+    """Per-sample prompt-embedding table, chunked through `embed_fn`.
+
+    Multi-host (SURVEY.md §2.7 DCN axis): each global chunk is assembled
+    from per-process row slices (mirroring BatchLoader._stage), the jitted
+    embed step runs on the sharded global batch, and the sharded output is
+    allgathered back so every host holds the FULL table (shuffled batches
+    later index arbitrary rows from any host). Executed-for-real evidence:
+    tools/multihost_smoke.py runs this across 2 OS processes."""
+    nproc, pidx = jax.process_count(), jax.process_index()
+    chunk = max(batch_size, nproc)
+    chunk -= chunk % nproc
+    per = chunk // nproc
+    table = np.zeros((len(dataset), embedding_dim), np.float32)
+    for start in range(0, len(dataset), chunk):
+        idx = np.arange(start, min(start + chunk, len(dataset)))
+        lo, hi = pidx * per, (pidx + 1) * per
+        local = idx[lo:hi] if nproc > 1 else idx
+        imgs = dataset.gather(local)
+        want = per if nproc > 1 else chunk
+        if len(local) < want:  # pad to the jitted shape
+            pad = np.zeros((want - len(local),) + imgs.shape[1:], np.uint8)
+            imgs = np.concatenate([imgs, pad])
+        if nproc > 1:
+            staged = jax.make_array_from_process_local_data(shard, imgs)
+            emb_g = embed_fn(state, staged)
+            from jax.experimental import multihost_utils
+            emb = np.asarray(
+                multihost_utils.process_allgather(emb_g, tiled=True))
+        else:
+            emb = np.asarray(embed_fn(state, jnp.asarray(imgs)))
+        table[idx] = emb[:len(idx)]
+    return table
+
+
 def _attn_impl(cfg: TrainConfig) -> str:
     """use_pallas: True -> force Pallas (asserts backend/shape support,
     ops/attention.py), False -> force the XLA flash composition,
@@ -292,13 +328,7 @@ class Trainer:
     def _refresh_embed_table(self) -> None:
         """Recompute the per-sample prompt-embedding table (cached mode —
         the reference's intended dataset-side hook, train_hybrid.py:157-171;
-        see train/step.py docstring for the deviation contract).
-
-        Multi-host: each global chunk is assembled from per-process row
-        slices (mirroring BatchLoader), the jitted embed step runs on the
-        sharded global batch, and the sharded output is allgathered back so
-        every host holds the FULL table (shuffled batches later index
-        arbitrary rows from any host)."""
+        see train/step.py docstring for the deviation contract)."""
         from lunaris_orion_tpu.train.step import make_embed_step
         if not hasattr(self, "_embed_fn"):
             sh = batch_sharding(self.mesh, leading_accum=False)
@@ -306,34 +336,12 @@ class Trainer:
                 make_embed_step(self.cfg, self.tcfg,
                                 attn_impl=_attn_impl(self.cfg)),
                 in_shardings=(self.shardings, sh))
-            self._embed_table = np.zeros(
-                (len(self.dataset), self.tcfg.embedding_dim), np.float32)
             self._embed_shard = sh
-        nproc, pidx = jax.process_count(), jax.process_index()
-        chunk = max(self.cfg.batch_size, nproc)
-        chunk -= chunk % nproc
-        per = chunk // nproc
         t0 = time.time()
-        for start in range(0, len(self.dataset), chunk):
-            idx = np.arange(start, min(start + chunk, len(self.dataset)))
-            lo, hi = pidx * per, (pidx + 1) * per
-            local = idx[lo:hi] if nproc > 1 else idx
-            imgs = self.dataset.gather(local)
-            want = per if nproc > 1 else chunk
-            if len(local) < want:  # pad to the jitted shape
-                pad = np.zeros((want - len(local),) + imgs.shape[1:],
-                               np.uint8)
-                imgs = np.concatenate([imgs, pad])
-            if nproc > 1:
-                staged = jax.make_array_from_process_local_data(
-                    self._embed_shard, imgs)
-                emb_g = self._embed_fn(self.state, staged)
-                from jax.experimental import multihost_utils
-                emb = np.asarray(
-                    multihost_utils.process_allgather(emb_g, tiled=True))
-            else:
-                emb = np.asarray(self._embed_fn(self.state, jnp.asarray(imgs)))
-            self._embed_table[idx] = emb[:len(idx)]
+        self._embed_table = compute_embed_table(
+            self._embed_fn, self.state, self.dataset,
+            batch_size=self.cfg.batch_size,
+            embedding_dim=self.tcfg.embedding_dim, shard=self._embed_shard)
         self.logger.info("Prompt-embedding table refreshed "
                          "(%d samples, %.1fs)",
                          len(self.dataset), time.time() - t0)
