@@ -55,14 +55,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 # Block sizes from an on-device sweep at the production shape
 # (B*H=64, N=16384, d=16). fwd 1024/2048 is fastest standalone but
-# VMEM-OOMs under the teacher's expert-vmap (extra pipeline buffering);
-# 512/2048 is within 10% and fits everywhere. The backward kernels hold
+# measured NEUTRAL inside the product hybrid step (3,402 vs 3,386 ms,
+# BASELINE.md r3 cont.); 512/2048 is within 10% standalone and fits
+# everywhere. The backward kernels hold
 # more live buffers (full q/do rows + grad accumulators) and need
-# 512/1024. _pick_block clamps for small N.
-BLOCK_Q = 512
-BLOCK_K = 2048
-BWD_BLOCK_Q = 512
-BWD_BLOCK_K = 1024
+# 512/1024 — re-swept for the FUSED backward on-device
+# (tools/bench_fused_blocks.py): the surface is flat within 1% across
+# every VMEM-feasible combo, so the two-kernel optimum stands for it
+# too. _pick_block clamps for small N. Env-overridable as tuning knobs
+# (read at import; the hash dropout mask is block-decomposition
+# independent, so any override is numerics-safe).
+import os as _os
+
+BLOCK_Q = int(_os.environ.get("LUNARIS_ATTN_BLOCK_Q", 512))
+BLOCK_K = int(_os.environ.get("LUNARIS_ATTN_BLOCK_K", 2048))
+BWD_BLOCK_Q = int(_os.environ.get("LUNARIS_ATTN_BWD_BLOCK_Q", 512))
+BWD_BLOCK_K = int(_os.environ.get("LUNARIS_ATTN_BWD_BLOCK_K", 1024))
 
 # A bf16-probability variant (exp/select on bf16 tiles) was benchmarked on
 # v5e and measured ~15-25% SLOWER than the f32 path (59.6 vs 51.5 ms fwd at
@@ -81,7 +89,6 @@ BWD_BLOCK_K = 1024
 # faster. Set LUNARIS_ATTN_FUSED_BWD=0 to restore the two-kernel
 # decomposition (still the only path when d*N*4 > 2 MB, e.g. d=64 at
 # N=16384).
-import os as _os
 
 
 def _fused_bwd() -> bool:
