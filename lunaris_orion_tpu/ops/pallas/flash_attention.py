@@ -87,13 +87,24 @@ BWD_BLOCK_K = int(_os.environ.get("LUNARIS_ATTN_BWD_BLOCK_K", 1024))
 # actually computes): two-kernel 283.8 ms vs fused 167.8 ms fwd+bwd at the
 # production shape (B8 H8 N16384 d16, dropout 0.1) — fused is 1.69x
 # faster. Set LUNARIS_ATTN_FUSED_BWD=0 to restore the two-kernel
-# decomposition (still the only path when d*N*4 > 2 MB, e.g. d=64 at
-# N=16384).
+# decomposition (still the only path when d*N*4 > 3 MB, e.g. d=64 at
+# N=16384 — that row is VMEM-infeasible fused in every tiling; see
+# _fused_dq_limit / _bwd_blocks).
 
 
 def _fused_bwd() -> bool:
     """Read at call time so tests/benchmarks can toggle without reload."""
     return _os.environ.get("LUNARIS_ATTN_FUSED_BWD", "1") == "1"
+
+
+def _fused_dq_limit() -> int:
+    """VMEM byte cap for the fused backward's whole-row f32 dq accumulator
+    (read at call time). Default 3 MB, set by the on-chip feasibility
+    sweep (tools/bench_fused_blocks.py --dims): d=16 (1 MB row) and
+    d=48 @ N=16384 (3 MB row, with the kv tile capped at 512 by
+    _bwd_blocks) both compile and win; d=64 (4 MB row) fails scoped-VMEM
+    compile in every tiling and must take the two-kernel path."""
+    return int(_os.environ.get("LUNARIS_ATTN_FUSED_DQ_BYTES", 3 * 2**20))
 
 # r3 item-8 experiment knobs (BASELINE.md records the measurements):
 #  LUNARIS_ATTN_EXP2=1   — carry scores in the log2 domain: q and bias are
@@ -559,12 +570,31 @@ def _vjp_fwd(qT, kT, vT, bias, seed, dropout_rate):
     return o, (qT, kT, vT, bias, seed, o, lse)
 
 
+def _bwd_blocks(n: int, d: int, fused: bool):
+    """Backward tile sizes, d-aware. The backward kernels hold whole-row
+    [d, N] buffers (q/do in both decompositions; +dq f32 in the fused one)
+    plus ~3 [bk, bq] f32 score temporaries, so the feasible kv tile
+    shrinks as d grows. On-chip feasibility/speed sweep at N=16384
+    (tools/bench_fused_blocks.py --dims, BASELINE.md "backward at the
+    larger head dims"): two-kernel bk=1024 is fastest through d=48 but
+    exceeds scoped VMEM by 44 KB at d=64 (the high-end recipe's head dim
+    — it could not compile at all before this rule); bk=512 fits and
+    ships there. The fused kernel needs bk<=512 beyond the 2 MB dq row
+    (d=48: 89.6 ms vs the two-kernel's 123.9)."""
+    bq = _pick_block(n, BWD_BLOCK_Q)
+    bk = _pick_block(n, BWD_BLOCK_K)
+    row_bytes = d * n * 4
+    if fused and row_bytes > 2**21:
+        bk = min(bk, _pick_block(n, 512))
+    if not fused and row_bytes > 3 * 2**20:
+        bk = min(bk, _pick_block(n, 512))
+    return bq, bk
+
+
 def _vjp_bwd(dropout_rate, res, doT):
     qT, kT, vT, bias, seed, o, lse = res
     bh, d, n = qT.shape
     h = bias.shape[0]
-    bq = _pick_block(n, BWD_BLOCK_Q)
-    bk = _pick_block(n, BWD_BLOCK_K)
     bias3 = bias[:, None, :]
     seeds = _row_seeds(seed, bh)
     delta = jnp.sum(o.astype(jnp.float32) * doT.astype(jnp.float32),
@@ -572,11 +602,14 @@ def _vjp_bwd(dropout_rate, res, doT):
 
     vm = dict(memory_space=pltpu.VMEM)
     # Fused single-pass backward when the whole-row dq accumulator fits
-    # VMEM comfortably (d*N f32 <= 2 MB — always true at the production
-    # d=16 shapes, 1 MB; d=64 at N=16384 is 4 MB and takes the validated
-    # two-kernel decomposition instead); the gate matches the documented
-    # 2 MB bound the kernel's VMEM sizing analysis covers.
-    if _fused_bwd() and d * n * 4 <= 2**21:
+    # VMEM (d*N f32 <= _fused_dq_limit(): 3 MB default — 1 MB at the
+    # production d=16 shapes, 3 MB at the mid-range d=48 where the fused
+    # kernel measures 1.38x the two-kernel path; d=64's 4 MB row is
+    # VMEM-infeasible in every tiling and takes the two-kernel
+    # decomposition. LUNARIS_ATTN_FUSED_DQ_BYTES overrides the gate).
+    fused = _fused_bwd() and d * n * 4 <= _fused_dq_limit()
+    bq, bk = _bwd_blocks(n, d, fused)
+    if fused:
         dq32, dk, dv, dbias_bh = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, block_q=bq,
                               dropout_rate=dropout_rate,

@@ -102,9 +102,9 @@ class TestFusedBackward:
     artifact — BASELINE.md 'fused backward, re-measured honestly'). Both
     paths must produce the same gradients, dropout included."""
 
-    def _grads(self, rng, monkeypatch, fused: bool, rate: float):
+    def _grads(self, rng, monkeypatch, fused: bool, rate: float, d: int = 16):
         monkeypatch.setenv("LUNARIS_ATTN_FUSED_BWD", "1" if fused else "0")
-        q, k, v, bias = _make(rng, b=1, h=2, n=256, d=16)
+        q, k, v, bias = _make(rng, b=1, h=2, n=256, d=d)
 
         def loss(q, k, v, bias):
             o = fa.attention_bhnd(q, k, v, bias, dropout_rate=rate,
@@ -122,6 +122,20 @@ class TestFusedBackward:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4,
                                        err_msg=f"d{name} rate={rate}")
+
+    @pytest.mark.parametrize("d", [48, 64])
+    def test_fused_matches_two_kernel_large_heads(self, rng, monkeypatch, d):
+        """The mid-range (d=48) and high-end (d=64) recipes' head dims.
+        At flagship N=16384 the 3 MB gate admits d=48 fused (measured
+        1.38x) while d=64 takes the two-kernel path (BASELINE.md
+        'backward at the larger head dims'); here both kernels' math is
+        pinned against each other at small N where both always run."""
+        *_, gf = self._grads(rng, monkeypatch, True, 0.1, d=d)
+        *_, gt = self._grads(rng, monkeypatch, False, 0.1, d=d)
+        for name, a, b in zip("qkvb", gf, gt):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4,
+                                       err_msg=f"d{name} head_dim={d}")
 
     def test_fused_matches_dense(self, rng, monkeypatch):
         q, k, v, bias, gf = self._grads(rng, monkeypatch, True, 0.0)

@@ -48,28 +48,21 @@ def slope(make_fn, k_small, k_big, reps=3):
     return (times[1] - times[0]) / (k_big - k_small)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=6)
-    ap.add_argument("--rate", type=float, default=0.1)
-    args = ap.parse_args()
-
-    from lunaris_orion_tpu.ops.pallas import flash_attention as fa
-    assert jax.default_backend() == "tpu", jax.default_backend()
-
-    B, H, N, D = 8, 8, 16384, 16
+def _inputs(B, H, N, D):
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
-    q = jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16)
-    k = jax.random.normal(ks[1], (B, H, N, D), jnp.bfloat16)
-    v = jax.random.normal(ks[2], (B, H, N, D), jnp.bfloat16)
-    bias = jax.random.normal(ks[3], (H, N)).astype(jnp.float32)
+    return (jax.random.normal(ks[0], (B, H, N, D), jnp.bfloat16),
+            jax.random.normal(ks[1], (B, H, N, D), jnp.bfloat16),
+            jax.random.normal(ks[2], (B, H, N, D), jnp.bfloat16),
+            jax.random.normal(ks[3], (H, N)).astype(jnp.float32))
 
-    def make_bwd(kk):
-        def loss(q, k, v, bias):
-            return jnp.sum(fa.attention_bhnd(
-                q, k, v, bias, dropout_rate=args.rate,
-                seed=jnp.int32(7)).astype(jnp.float32) ** 2)
 
+def _make_bwd(fa, q, k, v, bias, rate):
+    def loss(q, k, v, bias):
+        return jnp.sum(fa.attention_bhnd(
+            q, k, v, bias, dropout_rate=rate,
+            seed=jnp.int32(7)).astype(jnp.float32) ** 2)
+
+    def make(kk):
         @jax.jit
         def run(q, k, v, bias):
             def body(c, _):
@@ -82,6 +75,84 @@ def main():
             o, s = jax.lax.scan(body, q, jnp.arange(kk))
             return jnp.sum(o.astype(jnp.float32)) + jnp.sum(s)
         return lambda: float(run(q, k, v, bias))
+
+    def grads():
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+        import numpy as np
+        return [np.asarray(x.astype(jnp.float32)) for x in g]
+
+    return make, grads
+
+
+def dims_mode(args):
+    """Backward-path feasibility + speed at the larger head dims (d=48:
+    the mid-range recipe; d=64: the high-end recipe; both N=16384 at
+    128px). First finding (2026-08-18): at d=64 the SHIPPED two-kernel
+    tiling (bq512/bk1024) exceeds scoped VMEM by 44 KB — the high-end
+    teacher backward could not compile at all. This sweeps both paths
+    over candidate tilings per d to pick feasible d-aware defaults, with
+    gradient cross-checks between every pair that compiles."""
+    import os
+    import numpy as np
+    from lunaris_orion_tpu.ops.pallas import flash_attention as fa
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    candidates = {  # (path, bq, bk)
+        48: [("two", 512, 1024), ("two", 512, 512),
+             ("fused", 512, 512), ("fused", 256, 512), ("fused", 256, 256)],
+        64: [("two", 512, 1024), ("two", 512, 512), ("two", 256, 512),
+             ("fused", 512, 512), ("fused", 256, 512), ("fused", 256, 256)],
+    }
+    shipped = (fa.BWD_BLOCK_Q, fa.BWD_BLOCK_K)
+    try:
+        for D, BH in ((48, 4), (64, 4)):
+            B, H, N = BH, 8, 16384
+            q, k, v, bias = _inputs(B, H, N, D)
+            make, grads = _make_bwd(fa, q, k, v, bias, args.rate)
+            g_ref, ref_name = None, None
+            for path, bq, bk in candidates[D]:
+                fa.BWD_BLOCK_Q, fa.BWD_BLOCK_K = bq, bk
+                os.environ["LUNARIS_ATTN_FUSED_DQ_BYTES"] = (
+                    str(2**23) if path == "fused" else "0")
+                res = {"d": D, "B": B, "path": path, "bq": bq, "bk": bk}
+                try:
+                    res["fwdbwd_ms"] = round(
+                        slope(make, 1, 1 + args.iters) * 1e3, 1)
+                    g = grads()
+                    if g_ref is None:
+                        g_ref, ref_name = g, f"{path}_{bq}_{bk}"
+                    else:
+                        res["max_rel_grad_diff_vs_" + ref_name] = max(
+                            float(np.max(np.abs(a - b))
+                                  / max(1e-30, float(np.max(np.abs(b)))))
+                            for a, b in zip(g, g_ref))
+                except Exception as e:  # noqa: BLE001
+                    res["error"] = f"{type(e).__name__}: {str(e)[:120]}"
+                log(f"  d={D} {path} bq={bq} bk={bk}: {res}")
+                print(json.dumps(res), flush=True)
+    finally:
+        fa.BWD_BLOCK_Q, fa.BWD_BLOCK_K = shipped
+        os.environ.pop("LUNARIS_ATTN_FUSED_DQ_BYTES", None)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--rate", type=float, default=0.1)
+    ap.add_argument("--dims", action="store_true",
+                    help="measure two-kernel vs fused at d=48/64 instead "
+                         "of the block sweep")
+    args = ap.parse_args()
+    if args.dims:
+        dims_mode(args)
+        return
+
+    from lunaris_orion_tpu.ops.pallas import flash_attention as fa
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    B, H, N, D = 8, 8, 16384, 16
+    q, k, v, bias = _inputs(B, H, N, D)
+    make_bwd, _ = _make_bwd(fa, q, k, v, bias, args.rate)
 
     sweep = [(bq, bk)
              for bq in (256, 512, 1024, 2048)
