@@ -94,9 +94,15 @@ def bench_attention():
           flush=True)
 
 
-def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8):
-    """Full hybrid step at 128px reference defaults. remat=False matches the
-    static planner's choice at batch 8 on a 16GB chip (BASELINE.md).
+def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8,
+                 latent: int = 256, feature: int = 128, embed: int = 64,
+                 remat: bool = False):
+    """Full hybrid step at 128px. Dim defaults = the reference's CLI
+    defaults; --latent/--feature/--embed select the mid-range
+    (384/384/192, head_dim 48) or high-end (512/512/256, head_dim 64)
+    recipes — the larger recipes may need --remat. remat=False matches
+    the static planner's choice at batch 8 / default dims on a 16GB chip
+    (BASELINE.md).
 
     attn_window > 0 measures the --attn_window deviation knob (corrected
     local-window teacher attention, ops/attention.py)."""
@@ -107,9 +113,10 @@ def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8):
     BATCH = batch
     cfg = TrainConfig(batch_size=BATCH, gradient_accumulation_steps=1,
                       mixed_precision=True, fuse_teacher=fuse,
-                      attn_window=attn_window)
+                      attn_window=attn_window, latent_dim=latent,
+                      feature_dim=feature, embedding_dim=embed)
     state = create_state(jax.random.PRNGKey(0), cfg)
-    step = make_train_step(cfg, remat=False)
+    step = make_train_step(cfg, remat=remat)
     imgs = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (1, BATCH, 128, 128, 3), dtype=np.uint8))
 
@@ -123,12 +130,12 @@ def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8):
             return losses[-1]
         return lambda: float(run(state))
 
-    print(f"compiling hybrid step chains (128px defaults, "
-          f"fuse_teacher={fuse}, attn_window={attn_window or 'global'}, "
-          f"batch={BATCH})...", flush=True)
+    desc = (f"latent={latent} feature={feature} fuse_teacher={fuse} "
+            f"attn_window={attn_window or 'global'} batch={BATCH} "
+            f"remat={remat}")
+    print(f"compiling hybrid step chains (128px, {desc})...", flush=True)
     dt = slope(make, 1, 4, reps=2)
-    print(f"hybrid step (fuse_teacher={fuse}, "
-          f"attn_window={attn_window or 'global'}, batch={BATCH}): "
+    print(f"hybrid step ({desc}): "
           f"{dt*1e3:.0f} ms = {BATCH/dt:.2f} sprites/s/chip", flush=True)
 
 
@@ -146,9 +153,14 @@ if __name__ == "__main__":
     ap.add_argument("--no-fuse", action="store_true")
     ap.add_argument("--attn_window", type=int, default=0)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--latent", type=int, default=256)
+    ap.add_argument("--feature", type=int, default=128)
+    ap.add_argument("--embed", type=int, default=64)
+    ap.add_argument("--remat", action="store_true")
     a = ap.parse_args()
     if a.only in (None, "attn"):
         bench_attention()
     if a.only in (None, "hybrid"):
         bench_hybrid(fuse=not a.no_fuse, attn_window=a.attn_window,
-                     batch=a.batch)
+                     batch=a.batch, latent=a.latent, feature=a.feature,
+                     embed=a.embed, remat=a.remat)
