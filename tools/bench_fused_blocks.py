@@ -135,6 +135,65 @@ def dims_mode(args):
         os.environ.pop("LUNARIS_ATTN_FUSED_DQ_BYTES", None)
 
 
+def fwd_mode(args):
+    """FORWARD-only block sweep at the larger head dims. The shipped
+    BLOCK_Q/BLOCK_K = 512/2048 came from the r2 sweep at the production
+    d=16; the mid-range (d=48) and high-end (d=64) recipes were never
+    swept. The forward kernel holds whole-row kT/vT [d, N] VMEM buffers
+    (2 MB each at d=64, N=16384 bf16) plus a [bk, bq] f32 score tile, so
+    larger d shifts the feasible/optimal region just as it did for the
+    backward. Outputs are cross-checked between tilings (the hash dropout
+    mask is block-decomposition independent, so differences are bf16
+    reorder drift only)."""
+    import numpy as np
+    from lunaris_orion_tpu.ops.pallas import flash_attention as fa
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    combos = [(512, 2048), (512, 1024), (512, 512),
+              (1024, 1024), (256, 2048), (1024, 2048)]
+    shipped = (fa.BLOCK_Q, fa.BLOCK_K)
+    try:
+        for D, BH in ((48, 4), (64, 4)):
+            B, H, N = BH, 8, 16384
+            q, k, v, bias = _inputs(B, H, N, D)
+
+            def make(kk):
+                @jax.jit
+                def run(q):
+                    def body(c, _):
+                        o = fa.attention_bhnd(
+                            c, k, v, bias, dropout_rate=args.rate,
+                            seed=jnp.int32(7))
+                        return c + 1e-6 * o.astype(c.dtype), ()
+                    o, _ = jax.lax.scan(body, q, jnp.arange(kk))
+                    return jnp.sum(o.astype(jnp.float32))
+                return lambda: float(run(q))
+
+            o_ref, ref_name = None, None
+            for bq, bk in combos:
+                fa.BLOCK_Q, fa.BLOCK_K = bq, bk
+                res = {"d": D, "B": B, "bq": bq, "bk": bk,
+                       "shipped": (bq, bk) == shipped}
+                try:
+                    res["fwd_ms"] = round(
+                        slope(make, 1, 1 + args.iters) * 1e3, 1)
+                    o = np.asarray(jax.jit(
+                        lambda q: fa.attention_bhnd(
+                            q, k, v, bias, dropout_rate=args.rate,
+                            seed=jnp.int32(7)).astype(jnp.float32))(q))
+                    if o_ref is None:
+                        o_ref, ref_name = o, f"{bq}_{bk}"
+                    else:
+                        res["max_abs_diff_vs_" + ref_name] = float(
+                            np.max(np.abs(o - o_ref)))
+                except Exception as e:  # noqa: BLE001
+                    res["error"] = f"{type(e).__name__}: {str(e)[:120]}"
+                log(f"  d={D} bq={bq} bk={bk}: {res}")
+                print(json.dumps(res), flush=True)
+    finally:
+        fa.BLOCK_Q, fa.BLOCK_K = shipped
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
@@ -142,9 +201,14 @@ def main():
     ap.add_argument("--dims", action="store_true",
                     help="measure two-kernel vs fused at d=48/64 instead "
                          "of the block sweep")
+    ap.add_argument("--fwd", action="store_true",
+                    help="forward-only block sweep at d=48/64")
     args = ap.parse_args()
     if args.dims:
         dims_mode(args)
+        return
+    if args.fwd:
+        fwd_mode(args)
         return
 
     from lunaris_orion_tpu.ops.pallas import flash_attention as fa
