@@ -101,6 +101,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force (--use_pallas, asserts TPU+shape support) or "
                         "forbid (--no-use_pallas) the Pallas attention "
                         "kernel; default: auto dispatch")
+    g.add_argument("--attn_impl", type=str, default=d.attn_impl,
+                   choices=("auto", "full", "flash", "pallas", "ring"),
+                   help="teacher attention implementation. 'ring' = cross-"
+                        "chip context parallelism: the token axis shards "
+                        "over the mesh model axis (--mesh_shape DATA MODEL "
+                        "with MODEL > 1) and k/v chunks rotate over ICI; "
+                        "experts are replicated. Use when one chip cannot "
+                        "hold the attention working set (large "
+                        "--image_size); at 128px a single chip is faster "
+                        "(docs/parallelism.md)")
     g.add_argument("--attn_window", type=int, default=d.attn_window,
                    help="teacher attention window in tokens (0 = global). "
                         "The CORRECTED form of the reference's intended "
@@ -131,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=d.remat,
                    help="force gradient rematerialization on/off; default: "
                         "the memory planner elides it when the step fits HBM")
+    g.add_argument("--fast_rng", action=argparse.BooleanOptionalAction,
+                   default=d.fast_rng,
+                   help="rbg PRNG for dropout masks (default on; ~1.3x "
+                        "faster hybrid steps on TPU). DEVIATION knob: the "
+                        "mask distribution is identical but the bit stream "
+                        "differs from threefry — pass --no-fast_rng for "
+                        "threefry determinism-class behavior "
+                        "(docs/parity.md)")
     return p
 
 

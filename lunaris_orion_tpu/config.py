@@ -149,6 +149,17 @@ class TrainConfig:
     model_axis: str = "model"
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> (n_devices, 1)
     use_pallas: Optional[bool] = None  # None -> auto (TPU yes, CPU no)
+    attn_impl: str = "auto"     # teacher attention implementation:
+                                # 'auto' (dispatch; respects use_pallas),
+                                # 'full' | 'flash' | 'pallas' (force one
+                                # single-device path), or 'ring' — cross-
+                                # chip context parallelism: the token axis
+                                # N = H*W shards over the mesh 'model'
+                                # axis and k/v rotate via ppermute
+                                # (parallel/ring_attention.py). 'ring'
+                                # requires a mesh with model axis > 1 and
+                                # replicates experts (the model axis
+                                # carries sequence, not experts).
     attn_window: int = 0        # >0: teacher attention restricted to
                                 # windows of this many tokens — the
                                 # CORRECTED form of the reference's

@@ -139,12 +139,18 @@ def expert_block_init(key, in_ch, out_ch, cfg: TeacherConfig):
 
 
 def expert_block_apply(p, s, x, *, cfg: TeacherConfig, train: bool, rng: _Rng,
-                       attn_impl: str = "auto", remat: bool = True):
+                       attn_impl: str = "auto", remat: bool = True,
+                       cp_mesh=None, cp_axis=None, cp_batch_axis=None):
     """conv1 -> attention -> conv2, *layer_scale, + shortcut, leaky(0.2).
 
     The reference drops whole channels (Dropout2d) after each conv stack and
     gradient-checkpoints the main path during training
     (lunar_evaluator.py:241-275); we remat the same region.
+
+    cp_mesh/cp_axis/cp_batch_axis: ring context parallelism
+    (attn_impl='ring') — the attention token axis shards over cp_axis and
+    k/v rotate cross-chip (parallel/ring_attention.py); forwarded verbatim
+    to spatial_attention_reference.
     """
     if "shortcut" in p:
         identity, sc_s = _conv_bn(p["shortcut"], s["shortcut"], x, train=train)
@@ -159,7 +165,8 @@ def expert_block_apply(p, s, x, *, cfg: TeacherConfig, train: bool, rng: _Rng,
         out = attn_mod.spatial_attention_reference(
             p["attn"], out, num_heads=cfg.num_heads,
             dropout_rate=cfg.dropout_rate, rng=attn_rng, train=train,
-            impl=attn_impl, window=cfg.attn_window)
+            impl=attn_impl, window=cfg.attn_window,
+            cp_mesh=cp_mesh, cp_axis=cp_axis, cp_batch_axis=cp_batch_axis)
         out, c2s = _cbn(p["conv2"], c2s, out, train=train)
         out = layers.dropout2d(out, cfg.dropout_rate, rng=drop2_rng, train=train)
         return out * p["layer_scale"].astype(out.dtype), c1s, c2s
@@ -242,6 +249,7 @@ def apply(p: Params, stats: Params, x: jax.Array, *,
           rng: Optional[jax.Array] = None,
           attn_impl: str = "auto",
           remat: bool = True,
+          cp_mesh=None, cp_axis=None, cp_batch_axis=None,
           want_feature_maps: bool = False
           ) -> Tuple[Dict[str, jax.Array], Params]:
     """Forward (lunar_evaluator.py:408-462). Returns (outputs, new_stats).
@@ -275,7 +283,9 @@ def apply(p: Params, stats: Params, x: jax.Array, *,
         def blk(bp, bs, bx, brng):
             return expert_block_apply(bp, bs, bx, cfg=cfg, train=train,
                                       rng=_Rng(brng), attn_impl=attn_impl,
-                                      remat=remat)
+                                      remat=remat, cp_mesh=cp_mesh,
+                                      cp_axis=cp_axis,
+                                      cp_batch_axis=cp_batch_axis)
 
         if expert_rngs is None:
             ex, lns = jax.vmap(lambda a, b, c: blk(a, b, c, None))(lp, lst, ex)

@@ -280,6 +280,7 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                                 block_k: int = 1024,
                                 cp_mesh=None,
                                 cp_axis: Optional[str] = None,
+                                cp_batch_axis: Optional[str] = None,
                                 window: Optional[int] = None) -> jax.Array:
     """Full PixelArtAttention module: qkv -> blockwise attn(+rel-pos) -> proj.
 
@@ -295,9 +296,12 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
     impl='ring' (requires cp_mesh + cp_axis) shards the token axis N = H*W
     over the mesh axis and runs cross-chip ring attention
     (parallel/ring_attention.py) — context parallelism the reference cannot
-    express. Not usable from inside the teacher's expert vmap (shard_map
-    under vmap); intended for non-vmapped call sites and images whose N
-    exceeds one chip's attention budget.
+    express. Composes with the teacher's expert vmap (shard_map batches
+    cleanly under vmap; parity pinned in tests/test_ring_attention.py) and
+    with jax.checkpoint/grad/scan, so it is usable as the teacher attention
+    inside the full train step (--attn_impl ring). `cp_batch_axis` names
+    the mesh axis the batch dim is sharded over (pass the data axis inside
+    the DP train step so the ring never gathers the batch).
     """
     b, h, w, c = x.shape
     n = h * w
@@ -385,7 +389,8 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                                           jnp.int32)
             out = ring_attention_sharded(q, k, v, bias, mesh=cp_mesh,
                                          axis=cp_axis, dropout_rate=rate,
-                                         seed=seed)
+                                         seed=seed,
+                                         batch_axis=cp_batch_axis)
         elif impl == "full":
             out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
                                  rng=attn_rng, train=train)

@@ -55,10 +55,17 @@ from jax.sharding import Mesh, PartitionSpec as P
 from lunaris_orion_tpu.ops.pallas.flash_attention import (
     _C1, _C2, _C3, _dropout_threshold)
 
-try:  # jax >= 0.4.35 exposes shard_map at jax.experimental.shard_map
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover - newer layout
-    from jax.shard_map import shard_map  # type: ignore
+try:  # jax >= 0.7: the Shardy-native API. The legacy
+    # jax.experimental.shard_map shim forces the old GSPMD partitioner,
+    # whose "involuntary full rematerialization" fallback MISCOMPILES
+    # gradients of unrelated tensors when this ring shares a program with
+    # TP-sharded layers (caught by test_sharding.py::
+    # test_ring_attention_train_step: VAE encoder grads off by 1e-2).
+    from jax import shard_map as _shard_map_new
+    _legacy_shard_map = None
+except ImportError:  # pragma: no cover - older jax
+    _shard_map_new = None
+    from jax.experimental.shard_map import shard_map as _legacy_shard_map
 
 
 def _keep_mask_qk(row_seed: jax.Array, q0: jax.Array, k0: jax.Array,
@@ -143,7 +150,8 @@ def _accum_chunk(acc, m, l, q32, k_chunk, v_chunk, bias_chunk, *,
 def ring_attention(q, k, v, bias, *, axis_name: str,
                    dropout_rate: float = 0.0,
                    seed: Optional[jax.Array] = None,
-                   block_k: int = 512) -> jax.Array:
+                   block_k: int = 512,
+                   varying_axes: Optional[tuple] = None) -> jax.Array:
     """Per-shard ring attention body — call INSIDE shard_map/pmap.
 
     q, k, v: [B, H, N/p, d] — this device's shard of the token axis.
@@ -151,6 +159,16 @@ def ring_attention(q, k, v, bias, *, axis_name: str,
     Returns the local output shard [B, H, N/p, d] of
     softmax(q k_full^T * d^-0.5 + bias_full) v_full (+ optional hash-mask
     prob dropout, identical to the Pallas kernel's for the same seed).
+
+    `varying_axes`: every mesh axis the INPUTS vary over (default:
+    (axis_name,)). Needed because the online-softmax carry starts from
+    constants (zeros / -inf) and must be pre-marked varying
+    (`lax.pvary`) for shard_map's per-shard type checking
+    (check_vma=True) to accept the scan — which is what makes the
+    transpose insert the psums for replicated-input cotangents (the bias
+    and, under partial replication, q/k/v). Running with the checker off
+    silently DROPS those psums: grads wrt bias lose the sum over the
+    data axis on a ('data','model') mesh.
     """
     p = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
@@ -165,9 +183,10 @@ def ring_attention(q, k, v, bias, *, axis_name: str,
         row_seed = _row_seed_bh(jnp.asarray(seed, jnp.int32).reshape(()),
                                 b, h)
 
-    acc0 = jnp.zeros((b, h, nl, d), jnp.float32)
-    m0 = jnp.full((b, h, nl, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((b, h, nl, 1), jnp.float32)
+    vary = tuple(varying_axes) if varying_axes else (axis_name,)
+    acc0 = lax.pvary(jnp.zeros((b, h, nl, d), jnp.float32), vary)
+    m0 = lax.pvary(jnp.full((b, h, nl, 1), -jnp.inf, jnp.float32), vary)
+    l0 = lax.pvary(jnp.zeros((b, h, nl, 1), jnp.float32), vary)
     # receive-from-right rotation: after s steps device i holds the chunk
     # that originated on device (i + s) % p
     perm = [(int((i + 1) % p), int(i)) for i in range(p)]
@@ -185,35 +204,76 @@ def ring_attention(q, k, v, bias, *, axis_name: str,
         src = (src + 1) % p
         return (acc, m, l, kc, vc, bc, src), None
 
-    (acc, _, l, _, _, _, _), _ = lax.scan(
-        ring_step, (acc0, m0, l0, k, v, bias, idx), None, length=p)
+    if _unroll_ring():
+        carry = (acc0, m0, l0, k, v, bias, idx)
+        for _ in range(p):
+            carry, _ = ring_step(carry, None)
+        acc, _, l = carry[0], carry[1], carry[2]
+    else:
+        (acc, _, l, _, _, _, _), _ = lax.scan(
+            ring_step, (acc0, m0, l0, k, v, bias, idx), None, length=p)
     return (acc / jnp.maximum(l, 1e-30)).astype(orig)
+
+
+def _unroll_ring() -> bool:
+    import os
+    return os.environ.get("LUNARIS_RING_UNROLL", "0") == "1"
 
 
 def ring_attention_sharded(q, k, v, bias, *, mesh: Mesh, axis: str,
                            dropout_rate: float = 0.0,
                            seed: Optional[jax.Array] = None,
-                           block_k: int = 512) -> jax.Array:
+                           block_k: int = 512,
+                           batch_axis: Optional[str] = None) -> jax.Array:
     """Global-view convenience wrapper: shard q/k/v[B,H,N,d] and bias[H,N]
     on the token axis over `axis` and run the ring. Composable under jit —
-    GSPMD inserts any reshards the in_specs demand."""
-    spec_qkv = P(None, None, axis, None)
+    GSPMD inserts any reshards the in_specs demand — and under `jax.vmap`
+    (e.g. the teacher's stacked-expert axis; parity pinned in
+    tests/test_ring_attention.py).
+
+    `batch_axis`: mesh axis the batch dim is sharded over (None =
+    replicated). Inside the data-parallel train step pass the 'data' axis
+    so the ring does NOT force an all-gather of the DP-sharded batch; the
+    ring collectives only ever run over `axis`, so batch rows stay
+    independent per data shard.
+
+    Per-shard type checking (check_vma) is ON: on a multi-axis mesh the
+    transpose must psum the cotangents of partially-replicated inputs
+    (bias always; q/k/v when batch_axis=None) over the axes they were
+    replicated on — with the checker off those psums are silently
+    dropped and grads come back wrong (caught by
+    tests/test_sharding.py::test_ring_attention_train_step)."""
+    spec_qkv = P(batch_axis, None, axis, None)
     has_bias = bias is not None
     in_specs = (spec_qkv, spec_qkv, spec_qkv,
                 P(None, axis) if has_bias else None)
+    vary = (axis,) + ((batch_axis,) if batch_axis is not None else ())
 
     if has_bias:
         fn = functools.partial(ring_attention, axis_name=axis,
                                dropout_rate=dropout_rate, seed=seed,
-                               block_k=block_k)
-        return shard_map(fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=spec_qkv, check_rep=False)(q, k, v, bias)
+                               block_k=block_k, varying_axes=vary)
+        return _shard_map_checked(fn, mesh, in_specs,
+                                  spec_qkv)(q, k, v, bias)
 
     def fn_nobias(q, k, v):
         return ring_attention(q, k, v, None, axis_name=axis,
                               dropout_rate=dropout_rate, seed=seed,
-                              block_k=block_k)
+                              block_k=block_k, varying_axes=vary)
 
-    return shard_map(fn_nobias, mesh=mesh,
-                     in_specs=(spec_qkv, spec_qkv, spec_qkv),
-                     out_specs=spec_qkv, check_rep=False)(q, k, v)
+    return _shard_map_checked(fn_nobias, mesh,
+                              (spec_qkv, spec_qkv, spec_qkv),
+                              spec_qkv)(q, k, v)
+
+
+def _shard_map_checked(fn, mesh, in_specs, out_specs):
+    """shard_map with per-shard varying-axes checking enabled (check_vma /
+    formerly check_rep) — the checker is what makes the transpose insert
+    psums for replicated-input cotangents — routed through the modern
+    jax.shard_map so lowering goes through Shardy, not the legacy GSPMD
+    path (see the import note above)."""
+    if _shard_map_new is not None:
+        return _shard_map_new(fn, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=True)
+    return _legacy_shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=True)

@@ -39,14 +39,21 @@ def _path_str(path) -> str:
 
 
 def param_spec(path_str: str, leaf, *, model_size: int,
-               num_experts: int, latent_dim: int) -> P:
-    """PartitionSpec for one leaf given its tree path."""
+               num_experts: int, latent_dim: int,
+               shard_experts: bool = True) -> P:
+    """PartitionSpec for one leaf given its tree path.
+
+    `shard_experts=False` keeps the stacked expert leaves replicated —
+    required when the model axis carries the token dim instead (ring
+    context parallelism, --attn_impl ring): one mesh axis cannot shard
+    both the expert and the sequence dimension."""
     shape = getattr(leaf, "shape", ())
     if model_size <= 1 or not shape:
         return P()
 
     # Teacher experts / quality heads: stacked [E, ...] leaves -> EP.
-    if (("experts/" in path_str or "quality_heads" in path_str)
+    if (shard_experts
+            and ("experts/" in path_str or "quality_heads" in path_str)
             and len(shape) >= 1 and shape[0] == num_experts
             and num_experts % model_size == 0):
         return P(MODEL_AXIS, *([None] * (len(shape) - 1)))
@@ -66,13 +73,14 @@ def param_spec(path_str: str, leaf, *, model_size: int,
 
 
 def state_shardings(abstract_state: Any, mesh: Mesh, *, num_experts: int,
-                    latent_dim: int) -> Any:
+                    latent_dim: int, shard_experts: bool = True) -> Any:
     """Tree of NamedShardings matching `abstract_state` (from eval_shape)."""
     model_size = mesh.shape[MODEL_AXIS]
 
     def rule(path, leaf):
         spec = param_spec(_path_str(path), leaf, model_size=model_size,
-                          num_experts=num_experts, latent_dim=latent_dim)
+                          num_experts=num_experts, latent_dim=latent_dim,
+                          shard_experts=shard_experts)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(rule, abstract_state)

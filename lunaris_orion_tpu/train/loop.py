@@ -108,9 +108,23 @@ def compute_embed_table(embed_fn, state, dataset, *, batch_size: int,
 
 
 def _attn_impl(cfg: TrainConfig) -> str:
-    """use_pallas: True -> force Pallas (asserts backend/shape support,
-    ops/attention.py), False -> force the XLA flash composition,
-    None -> auto dispatch (ops/dispatch.py)."""
+    """Resolve the teacher attention implementation from the two knobs.
+
+    cfg.attn_impl != 'auto' selects an implementation directly ('full' /
+    'flash' / 'pallas' / 'ring'); conflicts with use_pallas raise rather
+    than letting one knob silently override the other. With attn_impl ==
+    'auto': use_pallas True -> force Pallas (asserts backend/shape support,
+    ops/attention.py), False -> force the XLA flash composition, None ->
+    auto dispatch (ops/dispatch.py)."""
+    impl = getattr(cfg, "attn_impl", "auto")
+    if impl != "auto":
+        if cfg.use_pallas is True and impl != "pallas":
+            raise ValueError(
+                f"--attn_impl {impl} conflicts with --use_pallas; drop one")
+        if cfg.use_pallas is False and impl == "pallas":
+            raise ValueError(
+                "--attn_impl pallas conflicts with --no-use_pallas")
+        return impl
     if cfg.use_pallas is True:
         return "pallas"
     if cfg.use_pallas is False:
@@ -159,13 +173,37 @@ class Trainer:
         self.logger.info("Mesh: %s", dict(self.mesh.shape))
         self._interrupted = False
 
+        impl = _attn_impl(cfg)
+        self._cp = {}
+        if impl == "ring":
+            from lunaris_orion_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            mp = self.mesh.shape[MODEL_AXIS]
+            n_tok = cfg.image_size * cfg.image_size
+            if mp <= 1:
+                raise ValueError(
+                    "--attn_impl ring needs a mesh model axis > 1 (ring "
+                    f"context parallelism shards tokens over it); got mesh "
+                    f"{dict(self.mesh.shape)}. Pass --mesh_shape DATA MODEL")
+            if n_tok % mp != 0:
+                raise ValueError(
+                    f"--attn_impl ring: token count {n_tok} "
+                    f"(image_size^2) is not divisible by the model axis "
+                    f"size {mp}")
+            # The ring's shard_map runs over the model axis; the batch dim
+            # stays sharded over the data axis (no gather).
+            self._cp = dict(cp_mesh=self.mesh, cp_axis=MODEL_AXIS,
+                            cp_batch_axis=DATA_AXIS)
+
         # --- static memory planning fused with the real compile ----------
         abstract = jax.eval_shape(
             lambda k: create_state(k, self.cfg, self.vcfg, self.tcfg),
             jax.random.PRNGKey(self.cfg.seed))
         self.shardings = state_shardings(
             abstract, self.mesh, num_experts=self.tcfg.num_experts,
-            latent_dim=self.vcfg.latent_dim)
+            latent_dim=self.vcfg.latent_dim,
+            # ring CP uses the model axis for the token dim — experts stay
+            # replicated (can't also shard them over the same axis).
+            shard_experts=impl != "ring")
         self.abstract_state = jax.tree_util.tree_map(
             lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
             abstract, self.shardings)
@@ -175,7 +213,7 @@ class Trainer:
         cfg = self.cfg
         self.eval_step = jax.jit(
             make_eval_step(cfg, self.vcfg, self.tcfg,
-                           attn_impl=_attn_impl(cfg)),
+                           attn_impl=_attn_impl(cfg), **self._cp),
             in_shardings=(self.shardings, batch_sharding(self.mesh, leading_accum=False)))
 
         # --- data ---------------------------------------------------------
@@ -264,7 +302,7 @@ class Trainer:
             for remat in remat_candidates:
                 jitted = jax.jit(
                     make_train_step(trial, self.vcfg, self.tcfg, remat=remat,
-                                    attn_impl=attn_impl),
+                                    attn_impl=attn_impl, **self._cp),
                     in_shardings=tuple(in_shardings),
                     out_shardings=(self.shardings, None),
                     donate_argnums=0 if trial.donate_state else ())
@@ -334,7 +372,7 @@ class Trainer:
             sh = batch_sharding(self.mesh, leading_accum=False)
             self._embed_fn = jax.jit(
                 make_embed_step(self.cfg, self.tcfg,
-                                attn_impl=_attn_impl(self.cfg)),
+                                attn_impl=_attn_impl(self.cfg), **self._cp),
                 in_shardings=(self.shardings, sh))
             self._embed_shard = sh
         t0 = time.time()

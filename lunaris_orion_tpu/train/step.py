@@ -62,10 +62,40 @@ def normalize_images(batch: jax.Array, dtype) -> jax.Array:
 def make_train_step(cfg: TrainConfig,
                     vcfg: VAEConfig | None = None,
                     tcfg: TeacherConfig | None = None,
-                    *, attn_impl: str = "auto", remat: bool = True):
-    """Returns train_step(state, images[A, mb, H, W, C]) -> (state, metrics)."""
+                    *, attn_impl: str = "auto", remat: bool = True,
+                    cp_mesh=None, cp_axis=None, cp_batch_axis=None):
+    """Returns train_step(state, images[A, mb, H, W, C]) -> (state, metrics).
+
+    cp_mesh/cp_axis/cp_batch_axis (attn_impl='ring' only): the mesh and
+    axis names for ring context parallelism — the teacher's attention
+    token axis shards over cp_axis and the batch stays sharded over
+    cp_batch_axis (the DP axis), see parallel/ring_attention.py."""
     vcfg = vcfg or cfg.vae_config()
     tcfg = tcfg or cfg.teacher_config()
+    cp = dict(cp_mesh=cp_mesh, cp_axis=cp_axis, cp_batch_axis=cp_batch_axis)
+
+    # Ring CP: pin the batch layout of every tensor at the fork between the
+    # VAE branch and the teacher (ring) branch. Without this, the ring's
+    # shard_map in_specs propagate a model-axis sharding backwards through
+    # the teacher stem onto the SHARED inputs (x, recon), and the GSPMD
+    # partitioner's "involuntary full rematerialization" resharding fallback
+    # MISCOMPILES the gradients of the *other* branch: with the constraint
+    # absent, d(kl)/d(vae_params) came back 24% wrong on an 8-device mesh
+    # while the primal and the teacher grads stayed exact (repro pinned in
+    # tests/test_sharding.py::test_ring_attention_train_step; jax 0.9.0,
+    # Shardy on or off). The constraint costs nothing — batch-sharded,
+    # model-replicated is exactly the layout both branches want — and
+    # restores grad parity to ~1e-6.
+    if cp_mesh is not None and cp_batch_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _img_sh = NamedSharding(
+            cp_mesh, PartitionSpec(cp_batch_axis, None, None, None))
+
+        def _pin_batch(t):
+            return jax.lax.with_sharding_constraint(t, _img_sh)
+    else:
+        def _pin_batch(t):
+            return t
     vae_tx, teacher_tx = make_optimizers(cfg)
     w = LossWeights(cfg.recon_weight, cfg.kl_weight, cfg.quality_weight,
                     cfg.reward_scale, cfg.semantic_weight,
@@ -81,7 +111,7 @@ def make_train_step(cfg: TrainConfig,
         vae_params, teacher_params = params
         baseline, binit, stats, rng = carry
         rng, r_vae, r_t1, r_t2 = jax.random.split(rng, 4)
-        x = normalize_images(batch, compute_dtype)
+        x = _pin_batch(normalize_images(batch, compute_dtype))
 
         if cached:
             # Dataset-side prompt embeddings (the reference's INTENDED
@@ -98,12 +128,13 @@ def make_train_step(cfg: TrainConfig,
             # (3) teacher on inputs — outside grad (torch.no_grad parity).
             t1_out, stats1 = teacher_mod.apply(
                 teacher_params, stats, x, cfg=tcfg, train=True, rng=r_t1,
-                attn_impl=attn_impl, remat=remat)
+                attn_impl=attn_impl, remat=remat, **cp)
             prompt_emb = jax.lax.stop_gradient(t1_out["prompt_embedding"])
 
         def loss_fn(diff_params):
             vp, tp = diff_params
             recon, mu, logvar = vae_mod.apply(vp, x, rng=r_vae, cfg=vcfg)
+            recon = _pin_batch(recon)  # same fork: recon_loss vs teacher
             recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
             if fuse and not cached:
                 # Both teacher calls as ONE 2B forward (module docstring).
@@ -111,7 +142,7 @@ def make_train_step(cfg: TrainConfig,
                     [x, jax.lax.stop_gradient(recon)], axis=0)
                 t_out, stats2 = teacher_mod.apply(
                     tp, stats, both, cfg=tcfg, train=True, rng=r_t2,
-                    attn_impl=attn_impl, remat=remat)
+                    attn_impl=attn_impl, remat=remat, **cp)
                 b = x.shape[0]
                 own_emb = t_out["prompt_embedding"]
                 # x half's embedding conditions the recon half's semantic
@@ -128,7 +159,7 @@ def make_train_step(cfg: TrainConfig,
                 t2_out, stats2 = teacher_mod.apply(
                     tp, stats1, jax.lax.stop_gradient(recon), cfg=tcfg,
                     prompt_embedding=prompt_emb, train=True, rng=r_t2,
-                    attn_impl=attn_impl, remat=remat)
+                    attn_impl=attn_impl, remat=remat, **cp)
                 quality_scores = t2_out["quality_scores"]
                 semantic_score = t2_out["semantic_score"]
             vae_loss, teacher_loss, nb, nbi, metrics = losses_mod.hybrid_losses(
@@ -209,7 +240,8 @@ def make_train_step(cfg: TrainConfig,
 
 
 def make_embed_step(cfg: TrainConfig, tcfg: TeacherConfig | None = None,
-                    *, attn_impl: str = "auto"):
+                    *, attn_impl: str = "auto",
+                    cp_mesh=None, cp_axis=None, cp_batch_axis=None):
     """Deterministic (eval-mode) per-image prompt embeddings for the cached
     table: images [B, H, W, C] uint8 -> [B, embedding_dim] f32."""
     tcfg = tcfg or cfg.teacher_config()
@@ -219,7 +251,8 @@ def make_embed_step(cfg: TrainConfig, tcfg: TeacherConfig | None = None,
         x = normalize_images(images, compute_dtype)
         out, _ = teacher_mod.apply(
             state.teacher_params, state.teacher_stats, x, cfg=tcfg,
-            train=False, attn_impl=attn_impl)
+            train=False, attn_impl=attn_impl, cp_mesh=cp_mesh,
+            cp_axis=cp_axis, cp_batch_axis=cp_batch_axis)
         return out["prompt_embedding"].astype(jnp.float32)
 
     return embed_step
@@ -228,7 +261,8 @@ def make_embed_step(cfg: TrainConfig, tcfg: TeacherConfig | None = None,
 def make_eval_step(cfg: TrainConfig,
                    vcfg: VAEConfig | None = None,
                    tcfg: TeacherConfig | None = None,
-                   *, attn_impl: str = "auto"):
+                   *, attn_impl: str = "auto",
+                   cp_mesh=None, cp_axis=None, cp_batch_axis=None):
     """Deterministic validation: recon from the mean latent + KL + teacher
     quality in eval mode. (The reference builds a val loader but never runs
     validation — its early stopping reads an empty list, SURVEY.md §2.2 #19.
@@ -244,7 +278,8 @@ def make_eval_step(cfg: TrainConfig,
         recon_loss, kl_loss = losses_mod.recon_kl(recon, x, mu, logvar)
         t_out, _ = teacher_mod.apply(
             state.teacher_params, state.teacher_stats, recon, cfg=tcfg,
-            train=False, attn_impl=attn_impl)
+            train=False, attn_impl=attn_impl, cp_mesh=cp_mesh,
+            cp_axis=cp_axis, cp_batch_axis=cp_batch_axis)
         val_loss = cfg.recon_weight * recon_loss + cfg.kl_weight * kl_loss
         return {
             "val_recon_loss": recon_loss,

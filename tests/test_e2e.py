@@ -60,6 +60,34 @@ class TestCLI:
         assert cfg.scheduler_t0 == 10 and cfg.early_stopping_patience == 7
         assert cfg.reward_scale == 0.1 and cfg.baseline_momentum == 0.9
 
+    def test_attn_impl_knob_resolution(self):
+        """--attn_impl resolves directly; conflicts with use_pallas raise
+        instead of one knob silently overriding the other."""
+        from lunaris_orion_tpu.config import TrainConfig
+        from lunaris_orion_tpu.train.loop import _attn_impl
+        assert _attn_impl(TrainConfig(attn_impl="ring")) == "ring"
+        assert _attn_impl(TrainConfig(attn_impl="full")) == "full"
+        assert _attn_impl(
+            TrainConfig(attn_impl="pallas", use_pallas=True)) == "pallas"
+        with pytest.raises(ValueError, match="conflicts"):
+            _attn_impl(TrainConfig(attn_impl="ring", use_pallas=True))
+        with pytest.raises(ValueError, match="conflicts"):
+            _attn_impl(TrainConfig(attn_impl="pallas", use_pallas=False))
+        # CLI threads the choice
+        cfg = config_from_args(build_parser().parse_args(
+            ["--data_dir", "x", "--attn_impl", "ring"]))
+        assert cfg.attn_impl == "ring"
+
+    def test_fast_rng_flag_threads_to_config(self):
+        """--fast_rng / --no-fast_rng controls TrainConfig.fast_rng
+        (default True; the last deviation knob to get a CLI flag)."""
+        base = ["--data_dir", "x"]
+        assert config_from_args(build_parser().parse_args(base)).fast_rng
+        assert config_from_args(
+            build_parser().parse_args(base + ["--fast_rng"])).fast_rng
+        assert not config_from_args(
+            build_parser().parse_args(base + ["--no-fast_rng"])).fast_rng
+
 
 @pytest.mark.slow
 class TestEndToEnd:

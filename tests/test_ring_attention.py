@@ -137,6 +137,73 @@ class TestModuleRingImpl:
                 cp_axis="seq")
 
 
+class TestRingUnderVmap:
+    """The teacher calls attention inside `jax.vmap` over the stacked
+    expert axis, inside `jax.checkpoint` (remat), inside `jax.grad` —
+    pin that ring_attention_sharded composes with that exact nesting
+    (the --attn_impl ring product path, train/loop.py)."""
+
+    def test_vmap_fwd_and_grad_parity(self):
+        mesh = _mesh(8)
+        E = 3
+        ks = jax.random.split(jax.random.PRNGKey(20), 4)
+        q = jax.random.normal(ks[0], (E, 2, 2, 64, 4))
+        k = jax.random.normal(ks[1], (E, 2, 2, 64, 4))
+        v = jax.random.normal(ks[2], (E, 2, 2, 64, 4))
+        bias = jax.random.normal(ks[3], (E, 2, 64)) * 0.1
+
+        def ring(q, k, v, bias):
+            return ra.ring_attention_sharded(q, k, v, bias, mesh=mesh,
+                                             axis="seq")
+
+        def full(q, k, v, bias):
+            return attention.full_attention(q, k, v, bias)
+
+        out = jax.vmap(ring)(q, k, v, bias)
+        ref = jax.vmap(full)(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+        cot = jax.random.normal(jax.random.PRNGKey(21), q.shape)
+
+        def loss(fn):
+            @jax.jit
+            def inner(q, k, v, bias):
+                @jax.checkpoint
+                def path(q):
+                    return jax.vmap(fn)(q, k, v, bias)
+                return jnp.sum(path(q) * cot)
+            return inner
+
+        g_ref = jax.grad(loss(full))(q, k, v, bias)
+        g_ring = jax.grad(loss(ring))(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
+                                   rtol=5e-5, atol=1e-5)
+
+    def test_vmap_per_expert_dropout_seeds(self):
+        """Batched (per-expert) traced seeds under vmap: each expert's
+        slice must equal the unbatched ring call with that seed."""
+        mesh = _mesh(8)
+        E = 2
+        ks = jax.random.split(jax.random.PRNGKey(22), 3)
+        q = jax.random.normal(ks[0], (E, 2, 2, 64, 4))
+        k = jax.random.normal(ks[1], (E, 2, 2, 64, 4))
+        v = jax.random.normal(ks[2], (E, 2, 2, 64, 4))
+        seeds = jnp.asarray([11, 77], jnp.int32)
+
+        def ring(q, k, v, seed):
+            return ra.ring_attention_sharded(q, k, v, None, mesh=mesh,
+                                             axis="seq", dropout_rate=0.25,
+                                             seed=seed)
+
+        out = jax.jit(jax.vmap(ring))(q, k, v, seeds)
+        for e in range(E):
+            ref = ring(q[e], k[e], v[e], seeds[e])
+            np.testing.assert_allclose(np.asarray(out[e]), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f"expert {e}")
+
+
 class TestRingDropout:
     def test_mask_bit_identical_to_kernel(self):
         """_keep_mask_qk must be the q-major transpose of the Pallas

@@ -77,6 +77,48 @@ class TestShardingPlacement:
                 == P(None, "model"))
 
     @pytest.mark.slow
+    def test_ring_attention_train_step(self):
+        """--attn_impl ring e2e: the FULL hybrid train step with the
+        teacher's attention running as cross-chip ring context parallelism
+        over the model axis (tokens sharded, k/v rotating via ppermute,
+        experts replicated) compiles, executes, and matches the
+        single-device step's metrics. Dropout 0 so the hash-mask ring and
+        the rng-based single-device path are comparable."""
+        vcfg = VCFG
+        tcfg = TeacherConfig(
+            num_experts=2, feature_dim=16, extractor_dim=16,
+            extractor_stem=8, branch_dim=8, expert_layers=1,
+            intermediate_dim=16, embedding_dim=8, num_heads=4,
+            rel_pos_size=4, image_size=16, dropout_rate=0.0)
+        cfg = CFG  # dropout lives in TeacherConfig; VAE rng use is identical
+        state = create_state(jax.random.PRNGKey(0), cfg, vcfg, tcfg)
+        imgs = np.random.default_rng(2).integers(
+            0, 256, (2, 8, 16, 16, 3), dtype=np.uint8)
+
+        single = jax.jit(make_train_step(cfg, vcfg, tcfg, attn_impl="full"))
+        _, m1 = single(state, jnp.asarray(imgs))
+
+        mesh = make_mesh((2, 4))  # tokens 256 -> 64 per model shard
+        abstract = jax.eval_shape(
+            lambda k: create_state(k, cfg, vcfg, tcfg), jax.random.PRNGKey(0))
+        shards = state_shardings(abstract, mesh,
+                                 num_experts=tcfg.num_experts,
+                                 latent_dim=vcfg.latent_dim,
+                                 shard_experts=False)
+        state_r = jax.device_put(state, shards)
+        step = jax.jit(
+            make_train_step(cfg, vcfg, tcfg, attn_impl="ring",
+                            cp_mesh=mesh, cp_axis="model",
+                            cp_batch_axis="data"),
+            in_shardings=(shards, batch_sharding(mesh)),
+            out_shardings=(shards, None))
+        state2, m2 = step(state_r, jax.device_put(imgs, batch_sharding(mesh)))
+        assert int(state2.step) == 1
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                       rtol=2e-4, atol=1e-6, err_msg=k)
+
+    @pytest.mark.slow
     def test_dp_matches_single_device(self):
         """Pure-DP sharded step == single-device step (same seed)."""
         state = create_state(jax.random.PRNGKey(0), CFG, VCFG, TCFG)
