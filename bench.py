@@ -18,7 +18,18 @@ vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 baseline is an analytic estimate of the reference on its documented A100
 high-end config: the same step FLOPs at 312 TFLOP/s fp16 peak x 25% assumed
 MFU — typical for eager PyTorch AMP convnets (an optimistic 40% would scale
-vs_baseline by 0.625x; both are recorded in BASELINE.md).
+vs_baseline by 0.625x; both are recorded in BASELINE.md). The per-sprite
+FLOPs are batch-independent, so the baseline rate is one number shared by
+every operating point below.
+
+The JSON line is self-describing (r4): it carries the headline operating
+point (micro-batch x grad-accum = effective batch) AND two live-measured
+companion points so the file alone tells the whole story:
+  - vs_baseline_1x128: single micro-step, no accumulation (the honest
+    "how fast is one step" number; accumulation amortizes ~2 ms of
+    optimizer+fixed cost across micro-steps);
+  - vs_baseline_b64_recipe: the reference's own high-end recipe operating
+    point, batch 64 / accum 1 (README.md:102-118).
 
 Prints ONE JSON line to stdout; human detail goes to stderr.
 """
@@ -39,23 +50,25 @@ from lunaris_orion_tpu.train.state import make_optimizers
 A100_PEAK_FLOPS = 312e12
 ASSUMED_REF_MFU = 0.25
 
-# Operating point (r3, BASELINE.md "Gradient-accumulation operating
-# points"): micro-batch 128 is the largest single program that fits HBM;
-# accumulating ACCUM micro-batches per optimizer update (exactly the
-# reference's --gradient_accumulation_steps semantics,
+# Headline operating point (r3, BASELINE.md "Gradient-accumulation
+# operating points"): micro-batch 128 is the largest single program that
+# fits HBM; accumulating ACCUM micro-batches per optimizer update (exactly
+# the reference's --gradient_accumulation_steps semantics,
 # train_hybrid.py:894-926) amortizes the ~2 ms optimizer+fixed cost:
 # 1x128 -> 6,277, 2x128 -> 6,409, 4x128 -> 6,721, 8x128 -> 6,886,
 # 16x128 -> 6,972 sprites/s/chip (98.6% of the 18.1 ms marginal-micro-step
 # asymptote; 32x would add <1%). The analytic baseline is per-FLOP and
-# batch-independent, so the comparison stays apples-to-apples; the
-# batch-64 reference-recipe point is tabulated in BASELINE.md (16.23 ms,
-# 3,942 sprites/s).
+# batch-independent, so the comparison stays apples-to-apples across all
+# three reported operating points.
 MICRO = 128
 ACCUM = 16
-BATCH = MICRO * ACCUM
 LATENT = 512
 ITERS = 40
 REPS = 3
+# Companion points use shorter chains: their role is context, and the
+# driver's wall-clock budget is finite.
+COMPANION_ITERS = 12
+COMPANION_REPS = 2
 
 
 def log(msg):
@@ -83,17 +96,8 @@ def analytic_vae_step_flops(batch: int, latent: int, image: int = 128) -> float:
     return 3.0 * (2 * macs) * batch            # fwd + ~2x for backward
 
 
-def main():
-    try:
-        from pathlib import Path
-        cache = Path.home() / ".cache" / "lunaris_jax_cache"
-        cache.mkdir(parents=True, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-    dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
+def measure_point(micro: int, accum: int, iters: int, reps: int) -> float:
+    """Per-optimizer-step time at (micro, accum), by scan-chain slope."""
     vcfg = VAEConfig(latent_dim=LATENT)
     cfg = TrainConfig(latent_dim=LATENT, mixed_precision=True,
                       vae_lr=3e-4, scheduler_t0=10)
@@ -103,7 +107,7 @@ def main():
     params = vae_mod.init(key, vcfg)
     opt_state = vae_tx.init(params)
     batch = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, (MICRO, 128, 128, 3),
+        np.random.default_rng(0).integers(0, 256, (micro, 128, 128, 3),
                                           dtype=np.uint8))
 
     def one_step(carry, i):
@@ -111,7 +115,7 @@ def main():
 
         def micro_step(g_acc, j):
             x = batch.astype(jnp.bfloat16) / 127.5 - 1.0
-            rng = jax.random.fold_in(key, i * ACCUM + j)
+            rng = jax.random.fold_in(key, i * accum + j)
 
             def loss_fn(p):
                 recon, mu, logvar = vae_mod.apply(p, x, rng=rng, cfg=vcfg)
@@ -123,8 +127,8 @@ def main():
 
         g0 = jax.tree_util.tree_map(jnp.zeros_like, params)
         grads, micro_losses = jax.lax.scan(micro_step, g0,
-                                           jnp.arange(ACCUM))
-        grads = jax.tree_util.tree_map(lambda g: g / ACCUM, grads)
+                                           jnp.arange(accum))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
         updates, opt_state = vae_tx.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(
             lambda p, u: p + u.astype(p.dtype), params, updates)
@@ -135,9 +139,9 @@ def main():
                                                jnp.arange(k)))
         t0 = time.time()
         fn(params, opt_state)  # compile + first run
-        log(f"  k={k}: compile+first {time.time()-t0:.1f}s")
+        log(f"  [{accum}x{micro}] k={k}: compile+first {time.time()-t0:.1f}s")
         best, lv = float("inf"), 0.0
-        for _ in range(REPS):  # min-of-REPS: the relay's fixed cost is noisy
+        for _ in range(reps):  # min-of-REPS: the relay's fixed cost is noisy
             t0 = time.time()
             (_, _), losses = fn(params, opt_state)
             lv = float(losses[-1])
@@ -145,24 +149,56 @@ def main():
         return best, lv
 
     t1, _ = timed_chain(1)
-    tk, loss = timed_chain(1 + ITERS)
-    dt = (tk - t1) / ITERS
-
-    flops = analytic_vae_step_flops(BATCH, LATENT)
-    sprites_per_sec = BATCH / dt
-    log(f"per-step (scan slope over {ITERS}): {dt*1e3:.2f} ms | "
-        f"{sprites_per_sec:.0f} sprites/s/chip | "
+    tk, loss = timed_chain(1 + iters)
+    dt = (tk - t1) / iters
+    batch_total = micro * accum
+    flops = analytic_vae_step_flops(batch_total, LATENT)
+    log(f"  [{accum}x{micro}] per-step (scan slope over {iters}): "
+        f"{dt*1e3:.2f} ms | {batch_total/dt:.0f} sprites/s/chip | "
         f"{flops/dt/1e12:.1f} TFLOP/s analytic | loss={loss:.4f}")
+    return dt
 
-    baseline = A100_PEAK_FLOPS * ASSUMED_REF_MFU / (flops / BATCH)
+
+def main():
+    try:
+        from pathlib import Path
+        cache = Path.home() / ".cache" / "lunaris_jax_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    # Baseline rate (sprites/s): per-sprite FLOPs are batch-independent.
+    per_sprite_flops = analytic_vae_step_flops(1, LATENT)
+    baseline = A100_PEAK_FLOPS * ASSUMED_REF_MFU / per_sprite_flops
     log(f"analytic A100 reference baseline: {baseline:.0f} sprites/s "
         f"(peak x {ASSUMED_REF_MFU} MFU over the same step FLOPs)")
 
+    # Headline: 16x128 grad-accum (largest micro that fits HBM, accum
+    # amortizing fixed cost — reference --gradient_accumulation_steps
+    # semantics).
+    dt_head = measure_point(MICRO, ACCUM, ITERS, REPS)
+    sprites_head = MICRO * ACCUM / dt_head
+
+    # Companions: single micro-step, and the reference's own b64 recipe.
+    dt_1x128 = measure_point(MICRO, 1, COMPANION_ITERS, COMPANION_REPS)
+    dt_b64 = measure_point(64, 1, COMPANION_ITERS, COMPANION_REPS)
+
     print(json.dumps({
         "metric": "train_sprites_per_sec_per_chip_vae128",
-        "value": round(sprites_per_sec, 2),
+        "value": round(sprites_head, 2),
         "unit": "sprites/s",
-        "vs_baseline": round(sprites_per_sec / baseline, 3),
+        "vs_baseline": round(sprites_head / baseline, 3),
+        "operating_point": {
+            "micro_batch": MICRO, "grad_accum": ACCUM,
+            "effective_batch": MICRO * ACCUM, "latent_dim": LATENT,
+            "mixed_precision": True,
+        },
+        "vs_baseline_1x128": round(MICRO / dt_1x128 / baseline, 3),
+        "vs_baseline_b64_recipe": round(64 / dt_b64 / baseline, 3),
     }))
 
 
