@@ -151,15 +151,23 @@ def fwd_mode(args):
 
     combos = [(512, 2048), (512, 1024), (512, 512),
               (1024, 1024), (256, 2048), (1024, 2048)]
+    # Hard-coded shipped tiling (not fa.BLOCK_Q/K, which reflect
+    # LUNARIS_ATTN_BLOCK_Q/K env overrides and would mislabel rows).
+    SHIPPED_FWD = (512, 2048)
     shipped = (fa.BLOCK_Q, fa.BLOCK_K)
+    if shipped != SHIPPED_FWD:
+        log(f"  note: env-derived baseline blocks {shipped} != shipped "
+            f"default {SHIPPED_FWD}; 'shipped' column uses the default")
     try:
         for D, BH in ((48, 4), (64, 4)):
             B, H, N = BH, 8, 16384
             q, k, v, bias = _inputs(B, H, N, D)
 
             def make(kk):
+                # All inputs passed as device arguments (mirrors _make_bwd)
+                # so none are baked into the program as constants.
                 @jax.jit
-                def run(q):
+                def run(q, k, v, bias):
                     def body(c, _):
                         o = fa.attention_bhnd(
                             c, k, v, bias, dropout_rate=args.rate,
@@ -167,13 +175,13 @@ def fwd_mode(args):
                         return c + 1e-6 * o.astype(c.dtype), ()
                     o, _ = jax.lax.scan(body, q, jnp.arange(kk))
                     return jnp.sum(o.astype(jnp.float32))
-                return lambda: float(run(q))
+                return lambda: float(run(q, k, v, bias))
 
             o_ref, ref_name = None, None
             for bq, bk in combos:
                 fa.BLOCK_Q, fa.BLOCK_K = bq, bk
                 res = {"d": D, "B": B, "bq": bq, "bk": bk,
-                       "shipped": (bq, bk) == shipped}
+                       "shipped": (bq, bk) == SHIPPED_FWD}
                 try:
                     res["fwd_ms"] = round(
                         slope(make, 1, 1 + args.iters) * 1e3, 1)
@@ -198,11 +206,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--rate", type=float, default=0.1)
-    ap.add_argument("--dims", action="store_true",
-                    help="measure two-kernel vs fused at d=48/64 instead "
-                         "of the block sweep")
-    ap.add_argument("--fwd", action="store_true",
-                    help="forward-only block sweep at d=48/64")
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument("--dims", action="store_true",
+                      help="measure two-kernel vs fused at d=48/64 instead "
+                           "of the block sweep")
+    mode.add_argument("--fwd", action="store_true",
+                      help="forward-only block sweep at d=48/64")
     args = ap.parse_args()
     if args.dims:
         dims_mode(args)
