@@ -4,7 +4,7 @@ The reference ships no deployment path (its example inference script does
 not run, SURVEY.md §2.3 #25). `lunaris-export` produces a self-contained
 serving bundle: the decode+score (`generate`) and teacher-scoring
 (`score`) programs serialized via jax.export with the checkpoint weights
-baked in, loadable by `infer.exporter.ServingBundle` (or any StableHLO
+stored once in a shared weights.bin sidecar, loadable by `infer.exporter.ServingBundle` (or any StableHLO
 runtime honoring the jax.export calling convention) with no model code.
 """
 

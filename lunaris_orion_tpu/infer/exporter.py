@@ -18,10 +18,14 @@ that via `jax.export`:
     the evaluator's scoring program (infer/evaluator.py), normalization
     in-graph.
 
-Weights are baked into the artifact as constants (self-contained; a 47M
-param checkpoint exports to ~200 MB of StableHLO). Shapes are static —
-export one artifact per serving batch size; a loaded bundle dispatches on
-the input's leading dimension. Attention defaults to the XLA composition
+Weights are stored ONCE per bundle in a sidecar blob (``weights.bin`` +
+a typed index in the manifest) and every exported program takes them as
+arguments — so a bundle with 4 batch sizes is ~checkpoint-sized, not 4x
+(bundle-v1 baked them into every artifact as constants; the loader still
+reads v1 bundles). Shapes are static — export one artifact per serving
+batch size; a loaded bundle dispatches on the input's leading dimension
+and feeds the shared weights automatically. Attention defaults to the XLA
+composition
 (``attn="xla"``) so the artifact is pure portable StableHLO and can be
 exported for several platforms at once (``platforms=["tpu", "cpu"]``);
 ``attn="pallas"`` embeds the Mosaic kernel custom-calls (TPU-only,
@@ -31,8 +35,9 @@ guarantees.
 Artifact layout::
 
     out_dir/
-      manifest.json            # functions, shapes/dtypes, config snapshot
-      generate_b16.stablehlo   # one file per (function, batch)
+      manifest.json            # functions, weight index, config snapshot
+      weights.bin              # every weight leaf ONCE (raw, concatenated)
+      generate_b16.stablehlo   # one SMALL program per (function, batch)
       score_b16.stablehlo
 """
 
@@ -55,13 +60,18 @@ from lunaris_orion_tpu.models import vae as vae_mod
 _SUFFIX = ".stablehlo"
 
 
-def _build_generate(vcfg, tcfg, vae_params, teacher_params, teacher_stats,
-                    compute_dtype, attn_impl: str):
-    """z -> (uint8 images, quality_mean, semantic); weights closed over."""
+def _build_generate(vcfg, tcfg, weights_treedef, compute_dtype,
+                    attn_impl: str):
+    """(weight leaves, z) -> (uint8 images, quality_mean, semantic).
 
-    def fn(z):
-        imgs = vae_mod.decode(vae_params["decoder"],
-                              z.astype(compute_dtype), [], vcfg)
+    Weights arrive as the bundle's shared flat leaf list (v2 format) and
+    are unflattened with the treedef closed over at trace time — only the
+    *structure* is baked into the program, never the values."""
+
+    def fn(leaves, z):
+        decoder, teacher_params, teacher_stats = jax.tree_util.tree_unflatten(
+            weights_treedef, leaves)
+        imgs = vae_mod.decode(decoder, z.astype(compute_dtype), [], vcfg)
         out, _ = teacher_mod.apply(teacher_params, teacher_stats, imgs,
                                    cfg=tcfg, train=False,
                                    attn_impl=attn_impl)
@@ -74,11 +84,14 @@ def _build_generate(vcfg, tcfg, vae_params, teacher_params, teacher_stats,
     return fn
 
 
-def _build_score(tcfg, teacher_params, teacher_stats, compute_dtype,
-                 attn_impl: str):
-    """uint8 images -> (quality, expert_weights, semantic, style)."""
+def _build_score(tcfg, weights_treedef, compute_dtype, attn_impl: str):
+    """(weight leaves, uint8 images) -> (quality, expert_weights, semantic,
+    style). The decoder leaves in the shared list go unused here; XLA
+    drops them, and sharing one leaf list keeps the loader trivial."""
 
-    def fn(images):
+    def fn(leaves, images):
+        _, teacher_params, teacher_stats = jax.tree_util.tree_unflatten(
+            weights_treedef, leaves)
         x = images.astype(compute_dtype) / jnp.asarray(
             127.5, compute_dtype) - 1.0  # = train.step.normalize_images
         out, _ = teacher_mod.apply(teacher_params, teacher_stats, x,
@@ -90,6 +103,31 @@ def _build_score(tcfg, teacher_params, teacher_stats, compute_dtype,
                 out["style_embedding"].astype(jnp.float32))
 
     return fn
+
+
+def _np_dtype(name: str):
+    """dtype name -> numpy dtype, covering the ml_dtypes extras (bf16)."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+        return np.dtype(getattr(ml_dtypes, name))
+
+
+def _write_weights(out: Path, leaves) -> List[Dict]:
+    """Concatenate every leaf's raw bytes into weights.bin; return the
+    typed index (dtype/shape/offset per leaf, manifest['weights'])."""
+    index, offset = [], 0
+    with (out / "weights.bin").open("wb") as f:
+        for leaf in leaves:
+            arr = np.asarray(leaf)
+            data = np.ascontiguousarray(arr).tobytes()
+            index.append({"dtype": arr.dtype.name,
+                          "shape": list(arr.shape),
+                          "offset": offset, "nbytes": len(data)})
+            f.write(data)
+            offset += len(data)
+    return index
 
 
 def export_serving_bundle(checkpoint: str, out_dir: str, *,
@@ -120,39 +158,47 @@ def export_serving_bundle(checkpoint: str, out_dir: str, *,
     vcfg, tcfg = gen.vcfg, gen.tcfg
     compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
+    # One shared weight leaf list for the whole bundle (written ONCE);
+    # every program takes it as its first argument.
+    weights = (gen.vae_params["decoder"], gen.teacher_params,
+               gen.teacher_stats)
+    leaves, treedef = jax.tree_util.tree_flatten(weights)
+    leaf_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves]
+
     builders = {
         "generate": (
-            _build_generate(vcfg, tcfg, gen.vae_params, gen.teacher_params,
-                            gen.teacher_stats, compute_dtype, attn),
-            lambda b: (jax.ShapeDtypeStruct((b, vcfg.latent_dim),
-                                            jnp.float32),)),
+            _build_generate(vcfg, tcfg, treedef, compute_dtype, attn),
+            lambda b: jax.ShapeDtypeStruct((b, vcfg.latent_dim),
+                                           jnp.float32)),
         "score": (
-            _build_score(tcfg, gen.teacher_params, gen.teacher_stats,
-                         compute_dtype, attn),
-            lambda b: (jax.ShapeDtypeStruct(
-                (b, tcfg.image_size, tcfg.image_size, 3), jnp.uint8),)),
+            _build_score(tcfg, treedef, compute_dtype, attn),
+            lambda b: jax.ShapeDtypeStruct(
+                (b, tcfg.image_size, tcfg.image_size, 3), jnp.uint8)),
     }
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    weight_index = _write_weights(out, leaves)
     kwargs = {"platforms": list(platforms)} if platforms else {}
     entries = {}
     for name in functions:
         fn, arg_spec = builders[name]
         for b in batch_sizes:
-            args = arg_spec(int(b))
-            exp = jax_export.export(jax.jit(fn), **kwargs)(*args)
+            spec = arg_spec(int(b))
+            exp = jax_export.export(jax.jit(fn), **kwargs)(leaf_specs, spec)
             fname = f"{name}_b{b}{_SUFFIX}"
             (out / fname).write_bytes(exp.serialize())
             entries[f"{name}_b{b}"] = {
                 "file": fname, "function": name, "batch": int(b),
-                "in_avals": [f"{a.dtype}{list(a.shape)}" for a in args],
+                "in_avals": [f"{spec.dtype}{list(spec.shape)}"],
                 "platforms": list(exp.platforms),
             }
 
     manifest = {
-        "format": "lunaris-serving-bundle-v1",
+        "format": "lunaris-serving-bundle-v2",
         "functions": entries,
+        "weights_file": "weights.bin",
+        "weights": weight_index,
         "checkpoint_step": gen.step,
         "attn": attn,
         "bf16": bf16,
@@ -169,20 +215,40 @@ class ServingBundle:
     """Loads an exported bundle and dispatches calls by batch size.
 
     No model code runs — each call executes the deserialized StableHLO
-    through jax.export's calling convention on the current backend.
+    through jax.export's calling convention on the current backend. The
+    v2 format's shared weights load from weights.bin once, lazily, and
+    are fed to every program; v1 bundles (weights baked as constants)
+    still load.
     """
 
     def __init__(self, path: str):
         self.path = Path(path)
         self.manifest = json.loads((self.path / "manifest.json").read_text())
-        if self.manifest.get("format") != "lunaris-serving-bundle-v1":
+        fmt = self.manifest.get("format")
+        if fmt not in ("lunaris-serving-bundle-v1",
+                       "lunaris-serving-bundle-v2"):
             raise ValueError(f"{path} is not a lunaris serving bundle")
+        self._shared_weights = "weights" in self.manifest
+        self._weights: Optional[List[jnp.ndarray]] = None
         self._loaded: Dict[str, object] = {}
 
     def batch_sizes(self, function: str) -> List[int]:
         return sorted(e["batch"]
                       for e in self.manifest["functions"].values()
                       if e["function"] == function)
+
+    def _load_weights(self) -> List[jnp.ndarray]:
+        if self._weights is None:
+            blob = (self.path
+                    / self.manifest.get("weights_file",
+                                        "weights.bin")).read_bytes()
+            self._weights = [
+                jnp.asarray(np.frombuffer(
+                    blob, dtype=_np_dtype(e["dtype"]), count=int(
+                        np.prod(e["shape"], dtype=np.int64)) if e["shape"]
+                    else 1, offset=e["offset"]).reshape(e["shape"]))
+                for e in self.manifest["weights"]]
+        return self._weights
 
     def _call(self, function: str, arr):
         b = arr.shape[0]
@@ -195,6 +261,8 @@ class ServingBundle:
         if key not in self._loaded:
             data = (self.path / entry["file"]).read_bytes()
             self._loaded[key] = jax_export.deserialize(data)
+        if self._shared_weights:
+            return self._loaded[key].call(self._load_weights(), arr)
         return self._loaded[key].call(arr)
 
     def generate(self, z: np.ndarray):

@@ -49,12 +49,27 @@ def bundle_dir(ckpt_dir, tmp_path_factory):
 class TestExport:
     def test_manifest_contents(self, bundle_dir):
         m = json.loads((bundle_dir / "manifest.json").read_text())
-        assert m["format"] == "lunaris-serving-bundle-v1"
+        assert m["format"] == "lunaris-serving-bundle-v2"
         assert m["latent_dim"] == CFG.latent_dim
         assert m["image_size"] == CFG.image_size
         assert m["config"]["num_experts"] == CFG.num_experts
         for e in m["functions"].values():
             assert (bundle_dir / e["file"]).exists()
+
+    def test_weights_stored_once_not_baked(self, bundle_dir):
+        """v2 dedup: weights live ONCE in weights.bin; the per-(function,
+        batch) programs are parameter-free and so stay small — each
+        .stablehlo must be well under the weight payload, and the index
+        must cover decoder+teacher+stats byte-exactly."""
+        m = json.loads((bundle_dir / "manifest.json").read_text())
+        wsize = (bundle_dir / m["weights_file"]).stat().st_size
+        assert wsize == sum(e["nbytes"] for e in m["weights"])
+        assert len(m["weights"]) > 10
+        for e in m["functions"].values():
+            psize = (bundle_dir / e["file"]).stat().st_size
+            assert psize < 0.5 * wsize, (
+                f"{e['file']} is {psize} B vs {wsize} B of weights — "
+                "weights look baked into the program")
 
     def test_generate_matches_direct(self, ckpt_dir, bundle_dir):
         """Bundle generate == ImageGenerator's decode+score on same z."""
