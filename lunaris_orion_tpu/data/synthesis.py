@@ -123,7 +123,8 @@ class DatasetSynthesizer:
                  save_pngs: bool = True):
         self.out = Path(output_dir)
         self.out.mkdir(parents=True, exist_ok=True)
-        (self.out / "images").mkdir(exist_ok=True)
+        if save_pngs:
+            (self.out / "images").mkdir(exist_ok=True)
         self.backend = backend or ProceduralBackend()
         self.image_size = image_size
         self.engine = PromptEngine(seed)

@@ -96,6 +96,8 @@ class TestDiffusersBackendContract:
         paths = syn.export(tag="test")
         arr = np.load(paths["sprites"])
         assert arr.shape == (3, 128, 128, 3) and arr.dtype == np.uint8
+        # save_pngs=False must not leave an empty images/ dir behind
+        assert not (tmp_path / "images").exists()
 
 
 def test_pixelate_contract():
