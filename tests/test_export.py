@@ -139,3 +139,22 @@ class TestExport:
         imgs = np.zeros((2, 16, 16, 3), np.uint8)
         q, _, _, _ = bundle.score(imgs)
         assert np.isfinite(q).all()
+
+
+def test_weights_blob_roundtrip_bf16(tmp_path):
+    """_write_weights/_load round-trip covers non-native dtypes (bf16):
+    raw bytes + typed index must reproduce every leaf bit-exactly."""
+    import jax.numpy as jnp
+    from lunaris_orion_tpu.infer.exporter import _np_dtype, _write_weights
+
+    leaves = [np.arange(6, dtype=np.float32).reshape(2, 3),
+              np.asarray(jnp.linspace(-2, 2, 8).astype(jnp.bfloat16)),
+              np.asarray(3, dtype=np.int32)]
+    index = _write_weights(tmp_path, leaves)
+    blob = (tmp_path / "weights.bin").read_bytes()
+    for leaf, e in zip(leaves, index):
+        count = int(np.prod(e["shape"], dtype=np.int64)) if e["shape"] else 1
+        back = np.frombuffer(blob, dtype=_np_dtype(e["dtype"]), count=count,
+                             offset=e["offset"]).reshape(e["shape"])
+        assert back.dtype == leaf.dtype
+        np.testing.assert_array_equal(back, leaf)

@@ -39,13 +39,10 @@ PANELS = [
 ]
 
 
-def load(path: str, prefix: str):
-    rows = []
-    with open(path) as f:
-        for line in f:
-            r = json.loads(line)
-            if r.get("prefix", "train") == prefix:
-                rows.append(r)
+def load(path: str):
+    # Epoch-end validation scalars ride the train prefix (Trainer logs one
+    # merged row per epoch), so no prefix filtering — panels pick by key.
+    rows = [json.loads(line) for line in open(path)]
     rows.sort(key=lambda r: r["step"])
     return rows
 
@@ -68,7 +65,7 @@ def main():
     runs = []
     for spec in args.run[:2]:
         name, path = spec.split("=", 1)
-        runs.append((name, load(path, "train"), load(path, "val")))
+        runs.append((name, load(path)))
 
     fig, axes = plt.subplots(2, 3, figsize=(13.5, 7.2), dpi=160)
     fig.patch.set_facecolor(SURFACE)
@@ -82,8 +79,7 @@ def main():
         ax.set_axisbelow(True)
         ax.tick_params(colors=TEXT2, labelsize=8)
         ax.set_title(title, fontsize=10, color=TEXT, loc="left")
-        for (name, train_rows, val_rows), color in zip(runs, COLORS):
-            rows = val_rows if key.startswith("val_") else train_rows
+        for (name, rows), color in zip(runs, COLORS):
             xs, ys = series(rows, key)
             if not xs:
                 continue
@@ -92,7 +88,8 @@ def main():
             ax.annotate(f" {ys[-1]:.3g}", (xs[-1], ys[-1]), color=color,
                         fontsize=8, va="center")
         ax.margins(x=0.02)
-        ax.set_xlabel("optimizer step", fontsize=8, color=TEXT2)
+        # metrics.jsonl steps are micro-steps (host_step * grad_accum)
+        ax.set_xlabel("micro-step", fontsize=8, color=TEXT2)
 
     handles, labels = axes.flat[0].get_legend_handles_labels()
     if len(runs) > 1:
