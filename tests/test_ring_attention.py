@@ -285,3 +285,30 @@ class TestRingDropout:
             np.testing.assert_allclose(
                 np.asarray(gg), np.asarray(gr), rtol=5e-5, atol=1e-5,
                 err_msg=f"grad mismatch for {name}")
+
+
+class TestRingUnrollKnob:
+    def test_unrolled_ring_matches_scan(self, monkeypatch):
+        """LUNARIS_RING_UNROLL=1 replaces the lax.scan over ring steps with
+        a Python unroll (trades compile time for scheduler freedom) — the
+        math must be identical, fwd and grad."""
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(30))
+        mesh = _mesh(8)
+
+        def run():
+            def loss(q, k, v, bias):
+                o = ra.ring_attention_sharded(q, k, v, bias, mesh=mesh,
+                                              axis="seq")
+                return jnp.sum(o ** 2)
+            val, grads = jax.value_and_grad(loss, argnums=(0, 3))(q, k, v,
+                                                                  bias)
+            return val, grads
+
+        monkeypatch.delenv("LUNARIS_RING_UNROLL", raising=False)
+        v_scan, g_scan = run()
+        monkeypatch.setenv("LUNARIS_RING_UNROLL", "1")
+        v_un, g_un = run()
+        np.testing.assert_allclose(float(v_un), float(v_scan), rtol=1e-6)
+        for a, b in zip(g_un, g_scan):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
