@@ -127,6 +127,30 @@ def _exp2_mode() -> bool:
     return _os.environ.get("LUNARIS_ATTN_EXP2", "0") == "1"
 
 
+# r4 VPU-floor knobs (VERDICT r3 item 1): the forward is VPU-bound at
+# ~6 full-tile ops per score (bias add, running max, sub+exp, row sum,
+# bf16 cast) while the MXU idles ~80% — these move per-score VPU work onto
+# the MXU. Both are exact reformulations up to dtype rounding noted below.
+#  LUNARIS_ATTN_FOLD_BIAS — the per-key bias rides the QK matmul as an
+#    extra contraction row (k' = [k; bias], q' = [q; 1]): sT arrives with
+#    the bias already added, deleting the [bk, bq] VPU add from every
+#    kernel. The bias is cast to the MXU input dtype (bf16 in the product
+#    path) — the same rounding class the scores already carry from bf16
+#    q/k inputs.
+#  LUNARIS_ATTN_MXU_SUM — the softmax row-sum rides the MXU instead of a
+#    full-tile VPU reduce. dropout=0: a ones row appended to v makes the
+#    accumulator's last row the l recurrence (corr rescale included) for
+#    free. dropout>0: l = dot(ones[1, bk], pT) as a separate skinny MXU
+#    dot (normalization must sum the UNDROPPED probabilities — torch
+#    semantics, module docstring).
+def _fold_bias() -> bool:
+    return _os.environ.get("LUNARIS_ATTN_FOLD_BIAS", "0") == "1"
+
+
+def _mxu_sum() -> bool:
+    return _os.environ.get("LUNARIS_ATTN_MXU_SUM", "0") == "1"
+
+
 def _prng_dropout(n: int) -> bool:
     """Whole-call PRNG-dropout eligibility, decided ONCE per attention call
     from the sequence length: every tile shape the forward AND backward
@@ -284,7 +308,7 @@ def _mask_for(row_seed, k0, q0, shape, keep_prob: float, use_prng: bool):
 
 def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
                 o_ref, lse_ref, *, block_k: int, dropout_rate: float,
-                use_prng: bool):
+                use_prng: bool, fold_bias: bool, mxu_sum: bool):
     # q arrives PRE-SCALED by d^-0.5 (applied once outside the custom_vjp,
     # saving a full [bk, bq] multiply per tile in all three kernels).
     d = q_ref.shape[1]
@@ -295,35 +319,64 @@ def _fwd_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref,
     row_seed = seed_ref[0, 0, 0]
     q_id = qpos_ref[0, 0, 0]
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    # fold_bias: q gains a ones row so the bias row appended to k lands as
+    # "+bias" in the matmul epilogue — built ONCE per program, [*, bq]-cheap.
+    q1 = (jnp.concatenate([qT, jnp.ones((1, bq), qT.dtype)], axis=0)
+          if fold_bias else qT)
+    # mxu_sum at dropout>0: l = ones @ pT (the UNDROPPED probabilities).
+    ones_k = (jnp.ones((1, block_k), jnp.float32)
+              if (mxu_sum and dropout_rate > 0.0) else None)
+    # mxu_sum at dropout=0: the ones row appended to v makes acc's last row
+    # the l recurrence itself (the corr rescale applies to acc uniformly).
+    v_ones = mxu_sum and dropout_rate == 0.0
 
     def body(j, carry):
         acc, m, l = carry
         kT = k_ref[0, :, pl.ds(j * block_k, block_k)]
         vT = v_ref[0, :, pl.ds(j * block_k, block_k)]
-        sT = jax.lax.dot_general(
-            kT, qT, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [bk, bq] f32
         b_blk = bias_ref[0, 0, pl.ds(j * block_k, block_k)]       # [bk]
-        sT = sT + b_blk[:, None]
+        if fold_bias:
+            k1 = jnp.concatenate(
+                [kT, b_blk[None, :].astype(kT.dtype)], axis=0)    # [d+1, bk]
+            sT = jax.lax.dot_general(
+                k1, q1, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [bk, bq]
+        else:
+            sT = jax.lax.dot_general(
+                kT, qT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [bk, bq]
+            sT = sT + b_blk[:, None]
         m_new = jnp.maximum(m, jnp.max(sT, axis=0, keepdims=True))  # [1, bq]
         corr = _kexp(m - m_new)
         pT = _kexp(sT - m_new)                                  # [bk, bq]
-        l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
+        if mxu_sum and dropout_rate > 0.0:
+            l_new = l * corr + jax.lax.dot_general(
+                ones_k, pT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)               # [1, bq]
+        elif not v_ones:
+            l_new = l * corr + jnp.sum(pT, axis=0, keepdims=True)
+        else:
+            l_new = l                                             # unused
         if dropout_rate > 0.0:
             keep = _mask_for(row_seed, j * block_k, q_id * bq,
                               pT.shape, 1.0 - dropout_rate, use_prng)
             pT_used = jnp.where(keep, pT * inv_keep, 0.0)
         else:
             pT_used = pT
+        vm = (jnp.concatenate([vT, jnp.ones((1, block_k), vT.dtype)], axis=0)
+              if v_ones else vT)
         acc_new = acc * corr + jax.lax.dot_general(
-            vT, pT_used.astype(vT.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [d, bq]
+            vm, pT_used.astype(vT.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [d(+1), bq]
         return acc_new, m_new, l_new
 
-    acc0 = jnp.zeros((d, bq), jnp.float32)
+    acc0 = jnp.zeros((d + (1 if v_ones else 0), bq), jnp.float32)
     m0 = jnp.full((1, bq), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, bq), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    if v_ones:
+        l = acc[d:d + 1, :]
+        acc = acc[:d, :]
     l = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + _klog(l)
@@ -350,7 +403,8 @@ def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=bk,
                           dropout_rate=dropout_rate,
-                          use_prng=_prng_dropout(n)),
+                          use_prng=_prng_dropout(n),
+                          fold_bias=_fold_bias(), mxu_sum=_mxu_sum()),
         grid=grid,
         compiler_params=_PARALLEL2,
         in_specs=[

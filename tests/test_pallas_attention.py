@@ -307,6 +307,62 @@ class TestExp2Mode:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestMxuOffloadKnobs:
+    """r4 experiments (VERDICT r3 item 1): LUNARIS_ATTN_FOLD_BIAS rides the
+    per-key bias on the QK matmul as a d+1'th contraction row;
+    LUNARIS_ATTN_MXU_SUM moves the softmax row-sum onto the MXU (ones row
+    appended to v at dropout=0; a skinny ones-dot at dropout>0). Both are
+    exact reformulations of the forward — measured slower on v5e (the d+1=17
+    contraction forces a second 8-row sublane tile; BASELINE.md r4) and
+    rejected, kept env-gated. Pinned here so the knobs stay correct wherever
+    they are re-measured."""
+
+    KNOBS = ["LUNARIS_ATTN_FOLD_BIAS", "LUNARIS_ATTN_MXU_SUM"]
+
+    def _run(self, rng, monkeypatch, knobs, rate):
+        for k in self.KNOBS:
+            monkeypatch.setenv(k, "1" if k in knobs else "0")
+        q, k, v, bias = _make(rng, n=256, d=16)
+        kw = dict(dropout_rate=rate)
+        if rate > 0.0:
+            kw["seed"] = jnp.int32(17)
+
+        def loss(q, k, v, bias):
+            return jnp.sum(fa.attention_bhnd(q, k, v, bias, **kw) ** 2)
+
+        o = fa.attention_bhnd(q, k, v, bias, **kw)
+        g = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        return o, g
+
+    @pytest.mark.parametrize("knobs", [
+        ("LUNARIS_ATTN_FOLD_BIAS",),
+        ("LUNARIS_ATTN_MXU_SUM",),
+        ("LUNARIS_ATTN_FOLD_BIAS", "LUNARIS_ATTN_MXU_SUM"),
+    ])
+    @pytest.mark.parametrize("rate", [0.0, 0.3])
+    def test_forward_and_grads_match_default(self, rng, monkeypatch,
+                                             knobs, rate):
+        # rate toggles mxu_sum between its two mechanisms (v-ones row vs
+        # skinny ones-dot) — both must be covered.
+        ref_o, ref_g = self._run(rng, monkeypatch, (), rate)
+        alt_o, alt_g = self._run(rng, monkeypatch, knobs, rate)
+        np.testing.assert_allclose(np.asarray(alt_o), np.asarray(ref_o),
+                                   rtol=1e-5, atol=1e-5)
+        for a, b, name in zip(alt_g, ref_g, "q k v bias".split()):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"d{name} knobs={knobs}")
+
+    def test_fold_bias_keeps_keywise_bias_effect(self, rng, monkeypatch):
+        """The folded bias must still reach the scores: a keywise bias
+        pattern changes the output, exactly as in the default path."""
+        monkeypatch.setenv("LUNARIS_ATTN_FOLD_BIAS", "1")
+        q, k, v, bias = _make(rng)
+        out1 = fa.attention_bhnd(q, k, v, bias)
+        out3 = fa.attention_bhnd(q, k, v, bias.at[:, ::2].add(2.0))
+        assert not np.allclose(np.asarray(out1), np.asarray(out3), atol=1e-3)
+
+
 class TestPrngEligibility:
     """The PRNG-dropout decision must be whole-call (one verdict for the
     forward AND backward kernels of a single attention call), never
