@@ -34,6 +34,7 @@ class ImageGenerator:
     """Loads a training checkpoint and generates quality-filtered sprites."""
 
     def __init__(self, checkpoint_dir: str, *, best: bool = False,
+                 step: Optional[int] = None,
                  config: Optional[TrainConfig] = None, bf16: bool = False):
         """bf16=True runs decode+score in bfloat16 (params stay f32 in the
         checkpoint; activations carry the compute dtype). This is CLOSER to
@@ -50,6 +51,10 @@ class ImageGenerator:
                     "best=True selects a slot in an Orbax checkpoint "
                     "directory; for reference checkpoints point "
                     "--checkpoint at best.pt directly")
+            if step is not None:
+                raise ValueError(
+                    "step= selects a step in an Orbax checkpoint directory; "
+                    "a reference .pt file is a single checkpoint")
             from lunaris_orion_tpu.utils import torch_compat
 
             self.cfg, loaded = torch_compat.load_reference_inference_bundle(
@@ -75,7 +80,7 @@ class ImageGenerator:
             abstract = jax.eval_shape(
                 lambda k: create_state(k, self.cfg, self.vcfg, self.tcfg),
                 jax.random.PRNGKey(0))
-            state = self.ckpt.restore(abstract, best=best)
+            state = self.ckpt.restore(abstract, best=best, step=step)
             self.vae_params = state.vae_params
             self.teacher_params = state.teacher_params
             self.teacher_stats = state.teacher_stats

@@ -64,6 +64,22 @@ class TestGenerator:
         b, _ = gen.generate(2, quality_threshold=0.0, seed=42)
         np.testing.assert_array_equal(a, b)
 
+    def test_step_pinned_load(self, tmp_path):
+        """step= loads a specific rotation slot, not just the latest —
+        needed for step-matched A/B evaluation (tools/window_quality_eval)."""
+        from lunaris_orion_tpu.infer.generator import ImageGenerator
+        d = tmp_path / "ckpt2"
+        s0 = create_state(jax.random.PRNGKey(0), CFG, VCFG, TCFG)
+        s1 = s0.replace(step=s0.step + 10)
+        svc = CheckpointService(str(d), keep_n=2)
+        svc.save(0, s0, config=CFG)
+        svc.save(10, s1)
+        svc.close()
+        assert ImageGenerator(str(d)).step == 10
+        assert ImageGenerator(str(d), step=0).step == 0
+        with pytest.raises(ValueError, match="single checkpoint"):
+            ImageGenerator(str(tmp_path / "x.pt"), step=0)
+
 
 class TestEvaluator:
     def test_score_batch_fields(self, ckpt_dir):

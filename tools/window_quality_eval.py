@@ -57,7 +57,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", required=True)
     ap.add_argument("--ckpt", action="append", required=True,
-                    metavar="NAME=checkpoint_dir")
+                    metavar="NAME=checkpoint_dir[@step]")
     ap.add_argument("--val-fraction", type=float, default=0.1)
     ap.add_argument("--seed", type=int, default=123)
     ap.add_argument("--n", type=int, default=256)
@@ -81,7 +81,11 @@ def main():
     runs = {}
     for spec in args.ckpt:
         name, path = spec.split("=", 1)
-        gen = ImageGenerator(path, best=args.best)
+        step = None
+        if "@" in path:
+            path, s = path.rsplit("@", 1)
+            step = int(s)
+        gen = ImageGenerator(path, best=args.best, step=step)
         dt = jnp.bfloat16 if gen.cfg.mixed_precision else jnp.float32
         vcfg, tcfg = gen.vcfg, gen.tcfg
 
