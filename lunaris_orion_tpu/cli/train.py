@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mesh layout, e.g. 4 2; default: all devices on data")
     g.add_argument("--val_fraction", type=float, default=d.val_fraction)
     g.add_argument("--prefetch_depth", type=int, default=d.prefetch_depth)
+    g.add_argument("--steps_per_call", type=int, default=d.steps_per_call,
+                   help="optimizer steps chained inside one dispatched XLA "
+                        "call (1 = reference-exact per-step loop). K>1 "
+                        "decouples the host loop from the device: per-step "
+                        "metrics still log at their exact steps, but "
+                        "checkpoints/eval grids land on call boundaries "
+                        "and epochs drop trailing batches that do not "
+                        "fill a K-chunk")
     g.add_argument("--profile_steps", type=int, default=d.profile_steps,
                    help=">0: capture a jax.profiler trace of that many steps")
     g.add_argument("--debug_nans", action="store_true",

@@ -179,6 +179,21 @@ class TrainConfig:
     bf16_momentum: bool = False  # bf16 Adam first moments (halves m-state
                                  # HBM traffic; v stays f32). Off =
                                  # reference-faithful f32 optimizer state.
+    steps_per_call: int = 1     # optimizer steps chained inside ONE
+                                # dispatched XLA call (lax.scan over K
+                                # staged batches; one host->device batch
+                                # transfer per call). K=1 is exactly the
+                                # reference's per-step loop. K>1 decouples
+                                # the host from the device — on hosts with
+                                # per-call dispatch overhead (remote
+                                # relays) live throughput approaches the
+                                # bare-step rate. Per-step metrics are
+                                # still returned (stacked) and logged at
+                                # their exact steps; checkpoint/eval-grid
+                                # saves land on call boundaries (at most
+                                # K-1 steps late), and an epoch's trailing
+                                # batches that do not fill a K-chunk are
+                                # dropped (drop_last at chunk granularity).
     cached_prompt_embeddings: bool = False
                                 # the reference's INTENDED dataset-side
                                 # prompt-embedding design

@@ -182,6 +182,16 @@ def full_attention(q, k, v, bias, *, dropout_rate: float = 0.0,
     return out.astype(q.dtype)
 
 
+def _pallas_vmem_risk(dtype, head_dim: int, n: int) -> bool:
+    """True when the Mosaic kernel's scoped-VMEM stack would exceed the
+    v5e's 16M limit: measured at f32 / head_dim 64 / N=16384 (16.5M,
+    demo/runs_r5_highend r5 crash — the high-end recipe's eval-grid render
+    before it moved to bf16). bf16 at the same shape is 8.25M and
+    hardware-validated; auto dispatch falls back to the XLA flash path
+    for the risky combination instead of failing at compile time."""
+    return dtype == jnp.float32 and head_dim >= 64 and n >= 16384
+
+
 class WindowTilingError(ValueError):
     """A window override cannot tile this input's token count (N % window
     != 0). A dedicated type so callers that degrade gracefully (e.g.
@@ -338,7 +348,8 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                 impl = "full"
             elif (dispatch.choose("attention") == "pallas"
                   and supported_seq_len(n)
-                  and head_dim % (16 if q.dtype == jnp.bfloat16 else 8) == 0):
+                  and head_dim % (16 if q.dtype == jnp.bfloat16 else 8) == 0
+                  and not _pallas_vmem_risk(q.dtype, head_dim, n)):
                 # head_dim gate = Mosaic sublane tiling (bf16 16 / f32 8).
                 # d in {8, 16, 48, 64} is hardware-validated
                 # (tools/tpu_validate_attention.py PASS, 2026-08-17). Earlier
@@ -372,6 +383,12 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                     f"of {mod} (Mosaic sublane tiling for {q.dtype}); use a "
                     "feature_dim whose head_dim satisfies this, or "
                     "use_pallas=None/False")
+            if _pallas_vmem_risk(q.dtype, head_dim, n):
+                raise ValueError(
+                    f"use_pallas=True: {q.dtype} at head_dim {head_dim}, "
+                    f"N={n} exceeds the TPU's 16M scoped-VMEM stack "
+                    "(measured 16.5M at f32/d64/N16384, r5); run in bf16 "
+                    "(--mixed_precision / --bf16) or use_pallas=None/False")
         if impl == "ring":
             if cp_mesh is None or cp_axis is None:
                 raise ValueError("impl='ring' needs cp_mesh and cp_axis")

@@ -45,6 +45,34 @@ from lunaris_orion_tpu.utils.logging import setup_logging
 from lunaris_orion_tpu.utils.metrics import MetricsWriter
 
 
+def _chain_steps(step_fn, spc: int, accum: int, *, cached: bool):
+    """Wrap a train step into a K=steps_per_call chain: one dispatched XLA
+    call consumes [K*accum, B, ...] staged micro-batches and runs K full
+    optimizer steps via lax.scan (identical math to K sequential calls —
+    the scan carries the same TrainState the per-step loop would). Metrics
+    come back stacked [K] per scalar so the host can still log every step
+    at its exact value. K=1 returns step_fn unchanged (reference-exact)."""
+    if spc <= 1:
+        return step_fn
+
+    if cached:
+        def chained(state, batches, pes):
+            kb = batches.reshape(spc, accum, *batches.shape[1:])
+            kp = pes.reshape(spc, accum, *pes.shape[1:])
+
+            def body(s, xs):
+                b, p = xs
+                return step_fn(s, b, p)
+
+            return jax.lax.scan(body, state, (kb, kp))
+    else:
+        def chained(state, batches):
+            kb = batches.reshape(spc, accum, *batches.shape[1:])
+            return jax.lax.scan(lambda s, b: step_fn(s, b), state, kb)
+
+    return chained
+
+
 class EarlyStopping:
     """Patience counter on epoch loss (train_hybrid.py:206-225)."""
 
@@ -222,7 +250,11 @@ class Trainer:
                                          cfg.seed)
         self.train_loader = BatchLoader(
             self.dataset, tr_idx, batch_size=cfg.batch_size,
-            accum_steps=cfg.gradient_accumulation_steps, seed=cfg.seed,
+            # steps_per_call K chains K optimizer steps per dispatched
+            # call: the loader stages K*accum micro-batches as ONE device
+            # array (one transfer), the jitted wrapper scans them.
+            accum_steps=(cfg.gradient_accumulation_steps
+                         * cfg.steps_per_call), seed=cfg.seed,
             sharding=self.batch_shard, prefetch=cfg.prefetch_depth,
             with_indices=cfg.cached_prompt_embeddings)
         self.val_loader = BatchLoader(
@@ -287,22 +319,27 @@ class Trainer:
         remat_candidates = ((False, True) if cfg.remat is None
                             else (cfg.remat,))
         attn_impl = _attn_impl(cfg)
+        spc = max(int(getattr(cfg, "steps_per_call", 1) or 1), 1)
         while True:
             trial = cfg.replace(batch_size=bs)
+            acc = trial.gradient_accumulation_steps
             batch_abs = jax.ShapeDtypeStruct(
-                (trial.gradient_accumulation_steps, bs,
+                (spc * acc, bs,
                  trial.image_size, trial.image_size, 3), jnp.uint8)
             abstract_args = [self.abstract_state, batch_abs]
             in_shardings = [self.shardings, self.batch_shard]
             if cfg.cached_prompt_embeddings:
                 abstract_args.append(jax.ShapeDtypeStruct(
-                    (trial.gradient_accumulation_steps, bs,
+                    (spc * acc, bs,
                      self.tcfg.embedding_dim), jnp.float32))
                 in_shardings.append(self.batch_shard)
             for remat in remat_candidates:
+                step_fn = make_train_step(trial, self.vcfg, self.tcfg,
+                                          remat=remat,
+                                          attn_impl=attn_impl, **self._cp)
                 jitted = jax.jit(
-                    make_train_step(trial, self.vcfg, self.tcfg, remat=remat,
-                                    attn_impl=attn_impl, **self._cp),
+                    _chain_steps(step_fn, spc, acc,
+                                 cached=cfg.cached_prompt_embeddings),
                     in_shardings=tuple(in_shardings),
                     out_shardings=(self.shardings, None),
                     donate_argnums=0 if trial.donate_state else ())
@@ -394,9 +431,13 @@ class Trainer:
         (reference counts micro-batches, train_hybrid.py:945-952). `step` is
         the host-side optimizer-step counter — reading state.step would
         force a device sync every iteration."""
+        return self._crossed_range(every, step - 1, step)
+
+    def _crossed_range(self, every: int, lo: int, hi: int) -> bool:
+        """True if any micro-step in optimizer steps (lo, hi] hit `every`
+        (the steps_per_call>1 generalization of _micro_crossed)."""
         a = self.cfg.gradient_accumulation_steps
-        micro = step * a
-        return (micro // every) != ((micro - a) // every) if every > 0 else False
+        return ((hi * a) // every != (lo * a) // every) if every > 0 else False
 
     @property
     def _render_fn(self):
@@ -404,15 +445,25 @@ class Trainer:
         eager model calls at 128px would dispatch thousands of ops."""
         if not hasattr(self, "_render_cache"):
             vcfg, tcfg = self.vcfg, self.tcfg
+            # Render in the TRAINING compute dtype: bf16 under
+            # --mixed_precision. Faithful (the reference's attention runs
+            # under an unconditional fp16 autocast even at eval,
+            # lunar_evaluator.py:188 — parity.md #13) and necessary: the
+            # f32 Pallas path at high-end dims (head_dim 64, N=16384)
+            # exceeds the v5e's 16M scoped-VMEM stack (measured r5,
+            # demo/runs_r5_highend crash at the eval-grid boundary).
+            dt = jnp.bfloat16 if self.cfg.mixed_precision else jnp.float32
 
             @jax.jit
             def render(vae_params, teacher_params, teacher_stats, imgs):
-                x = normalize_images(imgs, jnp.float32)
+                x = normalize_images(imgs, dt)
                 recon, _, _ = vae_mod.apply(vae_params, x, rng=None,
                                             cfg=vcfg, sample_posterior=False)
                 out, _ = teacher_mod.apply(teacher_params, teacher_stats,
                                            recon, cfg=tcfg, train=False)
-                return x, recon, out["quality_scores"], out["semantic_score"]
+                return (x.astype(jnp.float32), recon.astype(jnp.float32),
+                        out["quality_scores"].astype(jnp.float32),
+                        out["semantic_score"].astype(jnp.float32))
 
             @jax.jit
             def prior(vae_params, rng):
@@ -496,32 +547,47 @@ class Trainer:
                         jax.profiler.stop_trace()
                         self.logger.info("Profiler trace -> %s",
                                          self.out_dir / "profile")
-                    host_step += 1
+                    spc = cfg.steps_per_call
+                    prev_step, host_step = host_step, host_step + spc
                     # Keep metrics on device; sync only on a sliding window
                     # so steps dispatch ahead of completion (the per-step
                     # float() here serialized host and device).
                     losses.append(m["total_loss"])
                     if len(losses) >= 3:
                         jax.block_until_ready(losses[-3])
-                    n_img += cfg.batch_size * cfg.gradient_accumulation_steps
+                    n_img += (cfg.batch_size
+                              * cfg.gradient_accumulation_steps * spc)
 
-                    if self._micro_crossed(cfg.log_every, host_step):
-                        self.metrics.log(m, host_step *
-                                         cfg.gradient_accumulation_steps)
-                        self.logger.info("step %d | %s", host_step, _fmt(m))
-                    if self._micro_crossed(cfg.eval_save_freq, host_step):
+                    # Per-step logging stays exact under steps_per_call>1:
+                    # metrics come back stacked [K], sliced at each crossed
+                    # boundary. State-dependent actions (grids, samples,
+                    # checkpoints) use the post-call state — at most K-1
+                    # steps late, by documented design.
+                    for s in range(prev_step + 1, host_step + 1):
+                        if self._micro_crossed(cfg.log_every, s):
+                            ms = (m if spc == 1 else jax.tree_util.tree_map(
+                                lambda a, i=s - prev_step - 1: a[i], m))
+                            self.metrics.log(
+                                ms, s * cfg.gradient_accumulation_steps)
+                            self.logger.info("step %d | %s", s, _fmt(ms))
+                    if self._crossed_range(cfg.eval_save_freq,
+                                           prev_step, host_step):
                         self._save_eval_samples(self._eval_grid_images(batch))
-                    if self._micro_crossed(cfg.sample_every, host_step):
+                    if self._crossed_range(cfg.sample_every,
+                                           prev_step, host_step):
                         self._save_prior_samples()
-                    if self._micro_crossed(cfg.save_every, host_step):
+                    if self._crossed_range(cfg.save_every,
+                                           prev_step, host_step):
                         self.ckpt.save(host_step, self.state, config=cfg)
                     if self._interrupted:
                         raise KeyboardInterrupt
                 dt = time.time() - t_epoch
 
                 # ---- epoch summary (repaired: losses actually collected) --
-                avg_loss = (float(np.mean([float(x) for x in losses]))
-                            if losses else float("nan"))
+                # losses entries are device scalars (K=1) or [K] stacks.
+                avg_loss = (float(np.mean(np.concatenate(
+                    [np.atleast_1d(np.asarray(x, dtype=np.float64))
+                     for x in losses]))) if losses else float("nan"))
                 val_metrics = {}
                 for vb in self.val_loader:
                     vm = self.eval_step(self.state, vb)

@@ -106,6 +106,7 @@ def _allclose_tree(a, b, **kw):
 
 
 class TestTorchToJax:
+    @pytest.mark.slow
     def test_state_carries_everything(self, torch_run):
         path, vae, teacher, vopt, *_ = torch_run
         state = tc.train_state_from_torch_checkpoint(
@@ -131,6 +132,7 @@ class TestTorchToJax:
                    for x in jax.tree_util.tree_leaves(nu)]
         assert sum(nonzero) > len(nonzero) * 0.5
 
+    @pytest.mark.slow
     def test_migrated_run_continues_identically(self, torch_run):
         """THE migration guarantee: after conversion, the next update with
         identical gradients produces identical parameters."""
@@ -275,6 +277,7 @@ def std_run(tmp_path_factory):
 
 
 class TestConvertCLI:
+    @pytest.mark.slow
     def test_roundtrip_via_cli(self, std_run, tmp_path):
         """to-jax produces a directory the inference stack loads; to-torch
         exports params byte-identically back. Dims come from the

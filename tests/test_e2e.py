@@ -155,6 +155,77 @@ class TestEndToEnd:
 
 
 @pytest.mark.slow
+class TestStepsPerCall:
+    """--steps_per_call K chains K optimizer steps in ONE dispatched XLA
+    call (train/loop.py _chain_steps). K>1 must be mathematically
+    identical to the K=1 per-step loop on the same data order, and
+    per-step metrics must still log at their exact steps."""
+
+    def test_k3_matches_k1(self, tmp_path):
+        from lunaris_orion_tpu.train.loop import Trainer
+
+        d = tmp_path / "sprites80"
+        write_synthetic_dataset(d, 80, image_size=16)
+        # 80 sprites, val 0.1 -> 72 train -> 9 batches of 8: divisible by 3
+        base = ["--data_dir", str(d), "--num_epochs", "1",
+                "--batch_size", "8", "--gradient_accumulation_steps", "1",
+                "--latent_dim", "16", "--feature_dim", "16",
+                "--num_experts", "2", "--embedding_dim", "8",
+                "--image_size", "16", "--log_every", "2",
+                "--save_every", "0", "--eval_save_freq", "0",
+                "--sample_every", "0", "--val_fraction", "0.1",
+                "--vae_lr", "1e-3", "--teacher_lr", "1e-4"]
+        runs = {}
+        for k in (1, 3):
+            out = tmp_path / f"k{k}"
+            args = build_parser().parse_args(
+                base + ["--output_dir", str(out), "--steps_per_call", str(k)])
+            t = Trainer(config_from_args(args))
+            t.train()
+            runs[k] = t
+
+        assert int(runs[1].state.step) == 9
+        assert int(runs[3].state.step) == 9
+        for name in ("vae_params", "teacher_params"):
+            a = jax.tree_util.tree_leaves(getattr(runs[1].state, name))
+            b = jax.tree_util.tree_leaves(getattr(runs[3].state, name))
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(
+                    np.asarray(x, np.float64), np.asarray(y, np.float64),
+                    rtol=2e-5, atol=2e-6)
+        assert float(runs[1].state.baseline) == pytest.approx(
+            float(runs[3].state.baseline), rel=1e-5)
+
+        # per-step metric rows land on their exact steps in both runs
+        for k in (1, 3):
+            rows = [json.loads(line) for line in
+                    open(tmp_path / f"k{k}" / "tensorboard" / "metrics.jsonl")]
+            steps = {r["step"] for r in rows if "recon_loss" in r}
+            assert {2, 4, 6, 8}.issubset(steps), (k, sorted(steps))
+
+    def test_k_chunk_drop_last(self, tmp_path):
+        """Trailing batches that do not fill a K-chunk are dropped (the
+        documented drop_last-at-chunk-granularity deviation)."""
+        from lunaris_orion_tpu.train.loop import Trainer
+
+        d = tmp_path / "sprites72"
+        write_synthetic_dataset(d, 80, image_size=16)
+        args = build_parser().parse_args(
+            ["--data_dir", str(d), "--output_dir", str(tmp_path / "o"),
+             "--num_epochs", "1", "--batch_size", "8",
+             "--gradient_accumulation_steps", "1", "--latent_dim", "16",
+             "--feature_dim", "16", "--num_experts", "2",
+             "--embedding_dim", "8", "--image_size", "16",
+             "--val_fraction", "0.1", "--steps_per_call", "4",
+             "--save_every", "0", "--eval_save_freq", "0",
+             "--sample_every", "0"])
+        t = Trainer(config_from_args(args))
+        t.train()
+        # 9 train batches, K=4 -> 2 chunks = 8 steps; 1 batch dropped
+        assert int(t.state.step) == 8
+
+
+@pytest.mark.slow
 class TestCachedEmbeddings:
     def test_trainer_cached_prompt_embeddings(self, data_dir, tmp_path):
         """Trainer path of --cached_prompt_embeddings: embed table built and

@@ -124,6 +124,7 @@ class TestEvaluator:
         assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
         assert all(np.isfinite(m["quality"]) for m in meta)
 
+    @pytest.mark.slow
     def test_score_directory_window_fallback(self, ckpt_dir, tmp_path):
         """A shape group whose token count the attn_window override cannot
         tile (N=256, window=96) falls back to global attention for that

@@ -187,6 +187,7 @@ class TestModuleAndConfig:
         assert cfg.teacher_config().attn_window == 512
         assert TrainConfig().teacher_config().attn_window is None
 
+    @pytest.mark.slow
     def test_teacher_forward_with_window(self, rng):
         """The full teacher runs under the window knob (vmapped experts
         included) and differs from the global-attention output."""
@@ -212,6 +213,7 @@ class TestModuleAndConfig:
         assert np.all(np.isfinite(q_w))
         assert float(np.abs(q_w - q_g).max()) > 0  # semantics differ
 
+    @pytest.mark.slow
     def test_dropout_trains(self, rng):
         """Window + dropout: gradients finite and nonzero through the
         module."""

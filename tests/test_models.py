@@ -30,12 +30,14 @@ class TestVAE:
         n = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(p))
         assert 25e6 < n < 45e6, n
 
+    @pytest.mark.slow
     def test_sample_no_skips(self, rng, tiny_vae_cfg):
         cfg = tiny_vae_cfg
         p = vae.init(rng, cfg)
         imgs = vae.sample(p, jax.random.fold_in(rng, 9), 3, cfg)
         assert imgs.shape == (3, cfg.image_size, cfg.image_size, 3)
 
+    @pytest.mark.slow
     def test_deterministic_with_mean_latent(self, rng, tiny_vae_cfg):
         cfg = tiny_vae_cfg
         p = vae.init(rng, cfg)
@@ -63,6 +65,7 @@ class TestVAE:
         nonzero = [float(jnp.max(jnp.abs(g))) > 0 for g in leaves]
         assert sum(nonzero) == len(nonzero)
 
+    @pytest.mark.slow
     def test_bf16_compute(self, rng, tiny_vae_cfg):
         cfg = tiny_vae_cfg
         p = vae.init(rng, cfg)
@@ -100,6 +103,7 @@ class TestTeacher:
                         jax.tree_util.tree_leaves(ns)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_train_updates_stats(self, rng, tiny_teacher_cfg):
         cfg = tiny_teacher_cfg
         p, s = teacher.init(rng, cfg)

@@ -227,6 +227,7 @@ class TestImplVariants:
     """r3 measured A/B variants must stay numerically exact to their
     defaults (BASELINE.md records which ships and why)."""
 
+    @pytest.mark.slow
     def test_moments_gn_matches_reshape_gn(self, rng, monkeypatch):
         for (b, h, w, c, g) in [(2, 16, 16, 64, 8), (3, 8, 8, 32, 8)]:
             x = jax.random.normal(rng, (b, h, w, c)) * 3.0 + 1.7
@@ -246,6 +247,7 @@ class TestImplVariants:
             np.testing.assert_allclose(_np(gn), _np(go), rtol=1e-4,
                                        atol=1e-4)
 
+    @pytest.mark.slow
     def test_phase_convt_matches_dilated(self, rng, monkeypatch):
         for (b, h, cin, co) in [(2, 8, 32, 16), (1, 5, 12, 7)]:
             x = jax.random.normal(rng, (b, h, h, cin))

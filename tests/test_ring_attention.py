@@ -69,6 +69,7 @@ class TestRingParity:
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o8),
                                    rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.slow
     def test_gradients_match_full_attention(self):
         q, k, v, bias = _qkvb(jax.random.PRNGKey(4))
         cot = jax.random.normal(jax.random.PRNGKey(5), q.shape)
@@ -180,6 +181,7 @@ class TestRingUnderVmap:
         np.testing.assert_allclose(np.asarray(g_ring), np.asarray(g_ref),
                                    rtol=5e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_vmap_per_expert_dropout_seeds(self):
         """Batched (per-expert) traced seeds under vmap: each expert's
         slice must equal the unbatched ring call with that seed."""
@@ -254,6 +256,7 @@ class TestRingDropout:
         np.testing.assert_allclose(np.asarray(o2), np.asarray(o8),
                                    rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.slow
     def test_dropout_grads_finite_and_match_dense(self):
         q, k, v, bias = _qkvb(jax.random.PRNGKey(9))
         seed = jnp.int32(3)
@@ -288,6 +291,7 @@ class TestRingDropout:
 
 
 class TestRingUnrollKnob:
+    @pytest.mark.slow
     def test_unrolled_ring_matches_scan(self, monkeypatch):
         """LUNARIS_RING_UNROLL=1 replaces the lax.scan over ring steps with
         a Python unroll (trades compile time for scheduler freedom) — the

@@ -96,7 +96,7 @@ def bench_attention():
 
 def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8,
                  latent: int = 256, feature: int = 128, embed: int = 64,
-                 remat: bool = False):
+                 remat: bool = False, cached_embed: bool = False):
     """Full hybrid step at 128px. Dim defaults = the reference's CLI
     defaults; --latent/--feature/--embed select the mid-range
     (384/384/192, head_dim 48) or high-end (512/512/256, head_dim 64)
@@ -114,17 +114,21 @@ def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8,
     cfg = TrainConfig(batch_size=BATCH, gradient_accumulation_steps=1,
                       mixed_precision=True, fuse_teacher=fuse,
                       attn_window=attn_window, latent_dim=latent,
-                      feature_dim=feature, embedding_dim=embed)
+                      feature_dim=feature, embedding_dim=embed,
+                      cached_prompt_embeddings=cached_embed)
     state = create_state(jax.random.PRNGKey(0), cfg)
     step = make_train_step(cfg, remat=remat)
     imgs = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (1, BATCH, 128, 128, 3), dtype=np.uint8))
+    embs = (jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, BATCH, embed)), jnp.float32) if cached_embed else None)
 
     def make(kk):
         @jax.jit
         def run(state):
             def body(s, i):
-                s2, m = step(s, imgs)
+                s2, m = (step(s, imgs, embs) if cached_embed
+                         else step(s, imgs))
                 return s2, m["total_loss"]
             s2, losses = jax.lax.scan(body, state, jnp.arange(kk))
             return losses[-1]
@@ -132,7 +136,7 @@ def bench_hybrid(fuse: bool = True, attn_window: int = 0, batch: int = 8,
 
     desc = (f"latent={latent} feature={feature} fuse_teacher={fuse} "
             f"attn_window={attn_window or 'global'} batch={BATCH} "
-            f"remat={remat}")
+            f"remat={remat} cached_embed={cached_embed}")
     print(f"compiling hybrid step chains (128px, {desc})...", flush=True)
     dt = slope(make, 1, 4, reps=2)
     print(f"hybrid step ({desc}): "
@@ -157,10 +161,14 @@ if __name__ == "__main__":
     ap.add_argument("--feature", type=int, default=128)
     ap.add_argument("--embed", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--cached_embed", action="store_true",
+                    help="price --cached_prompt_embeddings (the reference's "
+                         "intended dataset-side embeddings, parity.md #8)")
     a = ap.parse_args()
     if a.only in (None, "attn"):
         bench_attention()
     if a.only in (None, "hybrid"):
         bench_hybrid(fuse=not a.no_fuse, attn_window=a.attn_window,
                      batch=a.batch, latent=a.latent, feature=a.feature,
-                     embed=a.embed, remat=a.remat)
+                     embed=a.embed, remat=a.remat,
+                     cached_embed=a.cached_embed)
