@@ -343,3 +343,48 @@ class TestImplVariants:
                 np.testing.assert_allclose(
                     _np(a).astype(np.float32), _np(b).astype(np.float32),
                     rtol=gtol, atol=gtol)
+
+
+class TestVmemRiskGate:
+    """The f32/d>=64/N>=16384 Pallas combination exceeds the v5e's 16M
+    scoped-VMEM stack (measured 16.5M, r5 high-end eval-grid crash):
+    auto dispatch must route it to the XLA flash path, and a forced
+    use_pallas=True must fail actionably instead of at Mosaic compile."""
+
+    def test_truth_table(self):
+        from lunaris_orion_tpu.ops.attention import _pallas_vmem_risk
+        assert _pallas_vmem_risk(jnp.float32, 64, 16384)
+        assert not _pallas_vmem_risk(jnp.bfloat16, 64, 16384)  # hw-validated
+        assert not _pallas_vmem_risk(jnp.float32, 48, 16384)   # 3/4 stack
+        assert not _pallas_vmem_risk(jnp.float32, 64, 8192)    # half stack
+
+    def test_forced_pallas_raises_actionably(self, rng, monkeypatch):
+        """use_pallas=True at the risky combo raises the scoped-VMEM
+        ValueError during tracing (eval_shape: no FLOPs, no TPU needed)."""
+        heads, c = 8, 8 * 64  # head_dim 64
+        p = attention.attention_init(rng, c, num_heads=heads, rel_pos_size=4)
+        x = jnp.zeros((1, 128, 128, c), jnp.float32)  # N = 16384
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        with pytest.raises(ValueError, match="scoped-VMEM"):
+            jax.eval_shape(lambda pp, xx: attention.spatial_attention_reference(
+                pp, xx, num_heads=heads, impl="pallas"), p, x)
+
+    def test_auto_routes_risky_combo_to_flash(self, rng, monkeypatch):
+        """With the dispatcher forced to prefer Pallas, auto must still
+        refuse the risky combo and take the XLA flash path (observed via
+        a poisoned kernel import)."""
+        from lunaris_orion_tpu.ops import dispatch
+        import lunaris_orion_tpu.ops.pallas.flash_attention as fa
+        monkeypatch.setattr(dispatch, "choose",
+                            lambda op: "pallas" if op == "attention" else "xla")
+
+        def boom(*a, **k):
+            raise AssertionError("Pallas kernel must not be dispatched")
+
+        monkeypatch.setattr(fa, "attention_bhnd", boom)
+        heads, c = 8, 8 * 64
+        p = attention.attention_init(rng, c, num_heads=heads, rel_pos_size=4)
+        x = jnp.zeros((1, 128, 128, c), jnp.float32)
+        out = jax.eval_shape(lambda pp, xx: attention.spatial_attention_reference(
+            pp, xx, num_heads=heads), p, x)  # impl='auto'
+        assert out.shape == x.shape
