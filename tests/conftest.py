@@ -19,6 +19,20 @@ import jax  # noqa: E402
 # The harness pre-imports jax with JAX_PLATFORMS=axon (TPU); override late.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the fast subset is compile-bound on a
+# 1-core host (~8 min cold), and XLA's persistent cache works on CPU once
+# the size/time floors are lowered. Warm runs skip every unchanged
+# compile. Opt out with LUNARIS_TEST_NO_CACHE=1 (e.g. to measure cold).
+if not os.environ.get("LUNARIS_TEST_NO_CACHE"):
+    try:
+        _cache = os.path.expanduser("~/.cache/lunaris_test_jax_cache")
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 import pytest  # noqa: E402
 
 from lunaris_orion_tpu.config import TeacherConfig, VAEConfig  # noqa: E402

@@ -37,6 +37,7 @@ class TestChoose:
 
 
 class TestDispatchedOps:
+    @pytest.mark.slow
     def test_gn_mish_pallas_matches_xla_fwd_and_grad(self):
         key = jax.random.PRNGKey(0)
         x = jax.random.normal(key, (2, 8, 8, 16), jnp.float32)

@@ -71,6 +71,7 @@ class TestExport:
                 f"{e['file']} is {psize} B vs {wsize} B of weights — "
                 "weights look baked into the program")
 
+    @pytest.mark.slow
     def test_generate_matches_direct(self, ckpt_dir, bundle_dir):
         """Bundle generate == ImageGenerator's decode+score on same z."""
         from lunaris_orion_tpu.infer.exporter import ServingBundle

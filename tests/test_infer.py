@@ -104,6 +104,7 @@ class TestEvaluator:
         results = ev.score_directory(str(tmp_path), batch_size=4)
         assert len(results) == 6
 
+    @pytest.mark.slow
     def test_bf16_scoring_close_to_f32(self, ckpt_dir):
         """--bf16 scoring (reference-autocast-like numerics) stays close to
         the f32 path and returns f32 finite fields."""

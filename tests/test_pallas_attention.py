@@ -271,6 +271,7 @@ class TestSeqLenDispatch:
         assert out.shape == x.shape
 
 
+@pytest.mark.slow
 class TestExp2Mode:
     """LUNARIS_ATTN_EXP2=1 (r3 experiment): scores in the log2 domain must
     be an identity transform — outputs and all four gradients match the

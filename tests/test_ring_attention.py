@@ -144,6 +144,7 @@ class TestRingUnderVmap:
     pin that ring_attention_sharded composes with that exact nesting
     (the --attn_impl ring product path, train/loop.py)."""
 
+    @pytest.mark.slow
     def test_vmap_fwd_and_grad_parity(self):
         mesh = _mesh(8)
         E = 3
@@ -248,6 +249,7 @@ class TestRingDropout:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.slow
     def test_dropout_shard_count_invariant(self):
         q, k, v, bias = _qkvb(jax.random.PRNGKey(8))
         kw = dict(axis="seq", dropout_rate=0.25, seed=jnp.int32(7))

@@ -166,6 +166,7 @@ def pair():
 
 
 class TestTeacherForwardParity:
+    @pytest.mark.slow
     def test_eval_forward_matches(self, pair):
         mirror, _, jp, js = pair
         x = np.random.default_rng(0).uniform(

@@ -157,6 +157,13 @@ def main():
     args = ap.parse_args()
     rows = args.rows.split(",") if args.rows != "all" else [
         "fwdbwd", "opt", "full", "bf16mu", "accum", "combo"]
+    try:
+        cache = Path.home() / ".cache" / "lunaris_jax_cache"
+        cache.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     dev = jax.devices()[0]
     log(f"device: {dev}")
