@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoints/eval grids land on call boundaries "
                         "and epochs drop trailing batches that do not "
                         "fill a K-chunk")
+    g.add_argument("--hang_watchdog_secs", type=float,
+                   default=d.hang_watchdog_secs,
+                   help=">0: exit(66) if no training heartbeat lands within "
+                        "this many seconds (wedged device transport); a "
+                        "supervisor restarts with --resume_from. Size >= 2x "
+                        "steps_per_call x step time and above checkpoint "
+                        "save latency")
     g.add_argument("--profile_steps", type=int, default=d.profile_steps,
                    help=">0: capture a jax.profiler trace of that many steps")
     g.add_argument("--debug_nans", action="store_true",

@@ -194,6 +194,14 @@ class TrainConfig:
                                 # K-1 steps late), and an epoch's trailing
                                 # batches that do not fill a K-chunk are
                                 # dropped (drop_last at chunk granularity).
+    hang_watchdog_secs: float = 0.0  # >0: a daemon thread exits the process
+                                # (code 66) if no training heartbeat lands
+                                # within this many seconds — failure
+                                # detection for device transports that
+                                # drop a dispatched call without raising
+                                # (the host thread then blocks forever).
+                                # Size >= 2x steps_per_call x step time
+                                # and above checkpoint-save latency.
     cached_prompt_embeddings: bool = False
                                 # the reference's INTENDED dataset-side
                                 # prompt-embedding design

@@ -23,10 +23,12 @@ Maps the reference's trainer (train_hybrid.py:230-1070) onto the TPU runtime:
 
 from __future__ import annotations
 
+import os
 import signal
+import threading
 import time
 from pathlib import Path
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +73,62 @@ def _chain_steps(step_fn, spc: int, accum: int, *, cached: bool):
             return jax.lax.scan(lambda s, b: step_fn(s, b), state, kb)
 
     return chained
+
+
+class HangWatchdog:
+    """Failure detection for wedged device calls (SURVEY.md §5 'failure
+    detection/recovery'; the reference trainer has none — train_hybrid.py
+    catches OOM, but a dropped CUDA/transport call blocks it forever).
+    Remote-TPU transports can drop a dispatched call without raising:
+    observed live in r5 (demo/runs_r5_highend/training.log, 40-min gap
+    after step 700 — the host thread sat in a device wait at 0 CPU while
+    the device had already released the call). A daemon thread escalates
+    when no training heartbeat lands within `timeout_s`: CRITICAL log,
+    then `on_hang()` — default `os._exit(66)` so a supervisor restarts
+    from the last checkpoint (the device connection is unrecoverable from
+    inside the process; any device op, including a checkpoint save, would
+    itself hang). Size the timeout well above one dispatched call:
+    >= 2x steps_per_call x step time, and above Orbax save latency."""
+
+    EXIT_CODE = 66
+
+    def __init__(self, timeout_s: float, logger,
+                 on_hang: Optional[Callable[[], None]] = None,
+                 poll_s: float = 10.0):
+        self.timeout_s = float(timeout_s or 0)
+        self.logger = logger
+        self.poll_s = poll_s
+        self._on_hang = on_hang or (lambda: os._exit(self.EXIT_CODE))
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def beat(self) -> None:
+        self._last = time.monotonic()
+
+    def start(self) -> None:
+        if self.timeout_s > 0 and self._thread is None:
+            self.beat()
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="hang-watchdog")
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            idle = time.monotonic() - self._last
+            if idle > self.timeout_s:
+                self.logger.critical(
+                    "HangWatchdog: no training heartbeat for %.0f s "
+                    "(timeout %.0f s) — the device transport likely "
+                    "dropped a dispatched call; the process cannot "
+                    "recover. Exiting %d; restart with --resume_from "
+                    "<output_dir>/checkpoints.",
+                    idle, self.timeout_s, self.EXIT_CODE)
+                self._on_hang()
+                return
 
 
 class EarlyStopping:
@@ -519,6 +577,8 @@ class Trainer:
         best_loss = float(self.state.best_loss) if np.isfinite(
             float(self.state.best_loss)) else float("inf")
         host_step = int(self.state.step)
+        watchdog = HangWatchdog(cfg.hang_watchdog_secs, self.logger)
+        watchdog.start()
         try:
             for epoch in range(cfg.num_epochs):
                 self.train_loader.set_epoch(epoch)
@@ -555,6 +615,10 @@ class Trainer:
                     losses.append(m["total_loss"])
                     if len(losses) >= 3:
                         jax.block_until_ready(losses[-3])
+                    # Heartbeat AFTER the sync point: a wedged transport
+                    # blocks in block_until_ready above, so the beat stops
+                    # landing and the watchdog fires.
+                    watchdog.beat()
                     n_img += (cfg.batch_size
                               * cfg.gradient_accumulation_steps * spc)
 
@@ -593,6 +657,7 @@ class Trainer:
                     vm = self.eval_step(self.state, vb)
                     for k, v in vm.items():
                         val_metrics.setdefault(k, []).append(float(v))
+                    watchdog.beat()
                 val_metrics = {k: float(np.mean(v))
                                for k, v in val_metrics.items()}
                 ips = n_img / dt if dt > 0 else 0.0
@@ -618,6 +683,7 @@ class Trainer:
                         best_loss=jnp.asarray(best_loss, jnp.float32))
                 self.ckpt.save(host_step, self.state, config=cfg,
                                best=is_best, force=True)
+                watchdog.beat()
                 result["epochs"] = epoch + 1
                 result["best_loss"] = best_loss
 
@@ -632,6 +698,7 @@ class Trainer:
                            force=True)
             result["interrupted"] = True
         finally:
+            watchdog.stop()
             self.ckpt.wait()
             self.metrics.close()
             signal.signal(signal.SIGINT, old_sigint)

@@ -262,3 +262,50 @@ class TestBf16Momentum:
                 first = float(m["recon_loss"])
             last = float(m["recon_loss"])
         assert np.isfinite(last) and last < first, (first, last)
+
+
+class TestHangWatchdog:
+    """Failure detection for wedged device transports (loop.py HangWatchdog):
+    the reference trainer has no equivalent — a dropped CUDA call blocks
+    train_hybrid.py forever. Pure host-thread logic, no device needed."""
+
+    def _make(self, timeout, fired):
+        import logging
+        from lunaris_orion_tpu.train.loop import HangWatchdog
+        return HangWatchdog(timeout, logging.getLogger("test-watchdog"),
+                            on_hang=lambda: fired.set(), poll_s=0.02)
+
+    def test_fires_without_heartbeat(self):
+        import threading
+        fired = threading.Event()
+        wd = self._make(0.1, fired)
+        wd.start()
+        assert fired.wait(2.0), "watchdog never fired without heartbeats"
+        wd.stop()
+
+    def test_heartbeats_hold_it_off_and_stop_disarms(self):
+        import threading
+        import time as _time
+        fired = threading.Event()
+        wd = self._make(0.3, fired)
+        wd.start()
+        for _ in range(10):          # beat for ~0.5 s > timeout
+            wd.beat()
+            _time.sleep(0.05)
+        assert not fired.is_set(), "fired despite live heartbeats"
+        wd.stop()
+        _time.sleep(0.5)             # past timeout after stop()
+        assert not fired.is_set(), "fired after stop()"
+
+    def test_disabled_when_zero(self):
+        import threading
+        fired = threading.Event()
+        wd = self._make(0.0, fired)
+        wd.start()
+        assert wd._thread is None    # timeout<=0: never armed
+
+    def test_config_flag_plumbed(self):
+        from lunaris_orion_tpu.cli.train import build_parser, config_from_args
+        args = build_parser().parse_args(
+            ["--data_dir", "x", "--hang_watchdog_secs", "120"])
+        assert config_from_args(args).hang_watchdog_secs == 120.0
