@@ -309,3 +309,79 @@ class TestHangWatchdog:
         args = build_parser().parse_args(
             ["--data_dir", "x", "--hang_watchdog_secs", "120"])
         assert config_from_args(args).hang_watchdog_secs == 120.0
+
+
+class TestSuperviseTrain:
+    """Supervisor restart policy (tools/supervise_train.py): exit-66
+    relaunches with --resume_from <output_dir>/checkpoints; other exit
+    codes propagate. subprocess is stubbed — policy only, no training."""
+
+    def _load(self):
+        import importlib.util
+        from pathlib import Path
+        p = Path(__file__).resolve().parent.parent / "tools" / "supervise_train.py"
+        spec = importlib.util.spec_from_file_location("supervise_train", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_restarts_on_hang_exit_with_resume(self, monkeypatch):
+        st = self._load()
+        calls = []
+
+        def fake_call(cmd):
+            calls.append(cmd)
+            return 66 if len(calls) == 1 else 0
+
+        monkeypatch.setattr(st.subprocess, "call", fake_call)
+        monkeypatch.setattr(st.time, "sleep", lambda s: None)
+        rc = st.main(["--backoff_secs", "0", "--",
+                      "--data_dir", "d", "--output_dir", "out/x",
+                      "--hang_watchdog_secs", "300"])
+        assert rc == 0 and len(calls) == 2
+        assert calls[1][-2:] == ["--resume_from", "out/x/checkpoints"]
+        # first launch untouched
+        assert "--resume_from" not in calls[0]
+
+    def test_second_restart_does_not_stack_resume_flags(self, monkeypatch):
+        st = self._load()
+        calls = []
+
+        def fake_call(cmd):
+            calls.append(cmd)
+            return 66 if len(calls) <= 2 else 0
+
+        monkeypatch.setattr(st.subprocess, "call", fake_call)
+        monkeypatch.setattr(st.time, "sleep", lambda s: None)
+        rc = st.main(["--", "--data_dir", "d", "--output_dir", "o",
+                      "--resume_from", "stale/ckpt",
+                      "--hang_watchdog_secs", "60"])
+        assert rc == 0 and len(calls) == 3
+        assert calls[2].count("--resume_from") == 1
+        assert calls[2][-1] == "o/checkpoints"
+
+    def test_real_errors_propagate_without_restart(self, monkeypatch):
+        st = self._load()
+        calls = []
+        monkeypatch.setattr(st.subprocess, "call",
+                            lambda cmd: calls.append(cmd) or 2)
+        rc = st.main(["--", "--data_dir", "d", "--output_dir", "o",
+                      "--hang_watchdog_secs", "60"])
+        assert rc == 2 and len(calls) == 1
+
+    def test_gives_up_after_max_restarts(self, monkeypatch):
+        st = self._load()
+        calls = []
+        monkeypatch.setattr(st.subprocess, "call",
+                            lambda cmd: calls.append(cmd) or 66)
+        monkeypatch.setattr(st.time, "sleep", lambda s: None)
+        rc = st.main(["--max_restarts", "2", "--",
+                      "--data_dir", "d", "--output_dir", "o",
+                      "--hang_watchdog_secs", "60"])
+        assert rc == 66 and len(calls) == 3
+
+    def test_requires_watchdog_armed(self):
+        import pytest
+        st = self._load()
+        with pytest.raises(SystemExit):
+            st.main(["--", "--data_dir", "d", "--output_dir", "o"])
