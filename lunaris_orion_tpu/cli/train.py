@@ -100,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoints/eval grids land on call boundaries "
                         "and epochs drop trailing batches that do not "
                         "fill a K-chunk")
+    g.add_argument("--device_data", action=argparse.BooleanOptionalAction,
+                   default=d.device_data,
+                   help="stage the whole corpus into HBM once and gather "
+                        "batches on device (zero per-step host->device "
+                        "batch traffic). Auto-falls-back to streaming when "
+                        "it does not fit beside the compiled step")
     g.add_argument("--hang_watchdog_secs", type=float,
                    default=d.hang_watchdog_secs,
                    help=">0: exit(66) if no training heartbeat lands within "

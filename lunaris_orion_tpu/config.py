@@ -194,6 +194,14 @@ class TrainConfig:
                                 # K-1 steps late), and an epoch's trailing
                                 # batches that do not fill a K-chunk are
                                 # dropped (drop_last at chunk granularity).
+    device_data: bool = False   # stage the train/val corpora into HBM once
+                                # and build batches with on-device gathers:
+                                # zero per-step host->device batch bytes
+                                # (the r5 K A/B localized the live-vs-bare
+                                # gap to per-batch staging). Auto-disables
+                                # with a warning when corpus + compiled
+                                # step don't fit the HBM budget, under
+                                # multi-host, or with metadata streaming.
     hang_watchdog_secs: float = 0.0  # >0: a daemon thread exits the process
                                 # (code 66) if no training heartbeat lands
                                 # within this many seconds — failure

@@ -148,7 +148,7 @@ class BatchLoader:
                  batch_size: int, accum_steps: int = 1, seed: int = 0,
                  shuffle: bool = True, sharding=None, prefetch: int = 2,
                  squeeze_accum: bool = False, with_metadata: bool = False,
-                 with_indices: bool = False):
+                 with_indices: bool = False, device_data: bool = False):
         self.ds = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
@@ -161,6 +161,47 @@ class BatchLoader:
         self.with_metadata = with_metadata
         self.with_indices = with_indices
         self.epoch = 0
+        # Device-resident corpus (r5): stage this loader's whole subset to
+        # HBM ONCE and build every batch with an on-device gather, so the
+        # steady-state step pays zero host->device batch bytes. The r5 K
+        # A/B showed the live-vs-bare gap at fast operating points is
+        # per-BATCH staging, not per-call dispatch (BASELINE.md r5) —
+        # chaining can't amortize bytes; residency removes them.
+        self._corpus = None
+        self._dev_gather = None
+        if device_data:
+            import jax
+            if sharding is None or with_metadata or jax.process_count() > 1:
+                raise ValueError(
+                    "device_data needs a sharding, no metadata streaming, "
+                    "and a single process (multi-host residency would "
+                    "duplicate the corpus per host slice — unimplemented)")
+            self._init_device_corpus()
+
+    def corpus_nbytes(self) -> int:
+        """HBM the device-resident corpus occupies (0 when streaming)."""
+        return 0 if self._corpus is None else self._corpus.nbytes
+
+    def _init_device_corpus(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+        mesh = self.sharding.mesh
+        replicated = NamedSharding(mesh, PartitionSpec())
+        # Corpus rows follow self.indices order; epochs permute POSITIONS.
+        self._corpus = jax.device_put(self.ds.gather(self.indices),
+                                      replicated)
+        accum, bs, sq = self.accum, self.batch_size, self.squeeze_accum
+
+        def gather(corpus, pos):
+            batch = jnp.take(corpus, pos, axis=0)
+            if not sq:
+                batch = batch.reshape(accum, bs, *batch.shape[1:])
+            return batch
+
+        self._dev_gather = jax.jit(
+            gather, in_shardings=(replicated, replicated),
+            out_shardings=self.sharding)
 
     def __len__(self) -> int:
         return len(self.indices) // (self.batch_size * self.accum)
@@ -216,7 +257,35 @@ class BatchLoader:
             return jax.make_array_from_process_local_data(self.sharding, hb)
         return jax.device_put(hb, self.sharding)
 
+    def _device_batches(self):
+        """Device-resident twin of _host_batches: SAME deterministic
+        per-epoch index order (the identical rng.permutation over dataset
+        indices), but each batch is an on-device jnp.take from the staged
+        corpus — the only host->device traffic is the int32 position
+        vector. Yields the same (batch[, indices]) structure."""
+        import numpy as np
+        idx = self.indices
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            idx = rng.permutation(idx)
+        # dataset index value -> corpus row (corpus rows follow
+        # self.indices order; split indices are unique)
+        order = np.argsort(self.indices)
+        step = self.batch_size * self.accum
+        for start in range(0, len(idx) - step + 1, step):
+            chunk = idx[start:start + step]
+            pos = order[np.searchsorted(self.indices[order], chunk)]
+            batch = self._dev_gather(self._corpus, pos.astype(np.int32))
+            if self.with_indices:
+                yield (batch, chunk if self.squeeze_accum
+                       else chunk.reshape(self.accum, -1))
+            else:
+                yield batch
+
     def __iter__(self):
+        if self._corpus is not None:
+            yield from self._device_batches()
+            return
         if self.sharding is None:
             yield from self._host_batches()
             return

@@ -306,6 +306,28 @@ class Trainer:
         self.dataset = SpriteDataset(cfg.data_dir, image_size=cfg.image_size)
         tr_idx, va_idx = train_val_split(len(self.dataset), cfg.val_fraction,
                                          cfg.seed)
+        device_data = cfg.device_data
+        if device_data:
+            corpus = ((len(tr_idx) + len(va_idx))
+                      * cfg.image_size * cfg.image_size * 3)
+            need, hbm = getattr(self, "_plan_need", None), \
+                getattr(self, "_plan_hbm", None)
+            if jax.process_count() > 1:
+                self.logger.warning(
+                    "--device_data: multi-host residency unimplemented — "
+                    "streaming instead")
+                device_data = False
+            elif need and hbm and need + corpus > 0.92 * hbm:
+                self.logger.warning(
+                    "--device_data: corpus %.2f GB + compiled step %.2f GB "
+                    "exceeds the %.2f GB HBM budget — streaming instead",
+                    corpus / 2**30, need / 2**30, 0.92 * hbm / 2**30)
+                device_data = False
+            else:
+                self.logger.info(
+                    "--device_data: corpus resident in HBM (%.2f GB; "
+                    "batches gather on device, zero per-step staging)",
+                    corpus / 2**30)
         self.train_loader = BatchLoader(
             self.dataset, tr_idx, batch_size=cfg.batch_size,
             # steps_per_call K chains K optimizer steps per dispatched
@@ -314,11 +336,13 @@ class Trainer:
             accum_steps=(cfg.gradient_accumulation_steps
                          * cfg.steps_per_call), seed=cfg.seed,
             sharding=self.batch_shard, prefetch=cfg.prefetch_depth,
-            with_indices=cfg.cached_prompt_embeddings)
+            with_indices=cfg.cached_prompt_embeddings,
+            device_data=device_data)
         self.val_loader = BatchLoader(
             self.dataset, va_idx, batch_size=cfg.batch_size, accum_steps=1,
             seed=cfg.seed, shuffle=False, squeeze_accum=True,
-            sharding=batch_sharding(self.mesh, leading_accum=False))
+            sharding=batch_sharding(self.mesh, leading_accum=False),
+            device_data=device_data)
         self.logger.info("Dataset: %d sprites (%d train / %d val batches)",
                          len(self.dataset), len(self.train_loader),
                          len(self.val_loader))
@@ -434,6 +458,7 @@ class Trainer:
                         self.logger.warning(
                             "Static memory plan: batch_size %d -> %d",
                             cfg.batch_size, bs)
+                    self._plan_need, self._plan_hbm = need, hbm
                     return trial, compiled
                 self.logger.info(
                     "batch %d remat=%s needs %.2f GB > %.2f GB budget",

@@ -224,3 +224,57 @@ class TestMultiHostSlicing:
             # lookup — the contract make_array_from_process_local_data needs.
             np.testing.assert_array_equal(
                 rows, global_pe[:, pidx * 4:(pidx + 1) * 4])
+
+
+class TestDeviceResidentLoader:
+    """--device_data (r5): the corpus lives in HBM, batches are on-device
+    gathers. Contract: bit-identical batch content AND order vs the
+    streaming loader at the same seed/epoch, same extras, zero host bytes
+    per step (nothing to assert directly on CPU; parity is the guarantee)."""
+
+    def _loaders(self, data_dir, **kw):
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from lunaris_orion_tpu.parallel import make_mesh
+        ds = SpriteDataset(data_dir, image_size=32)
+        idx, _ = train_val_split(len(ds), 0.1, seed=3)
+        mesh = make_mesh((8, 1))
+        shard = NamedSharding(mesh, P(None, "data"))
+        mk = lambda dd: BatchLoader(ds, idx, batch_size=8, accum_steps=2,
+                                    seed=5, sharding=shard,
+                                    device_data=dd, **kw)
+        return mk(False), mk(True)
+
+    def test_matches_streaming_loader_across_epochs(self, data_dir):
+        stream, dev = self._loaders(data_dir)
+        for epoch in (0, 1):
+            stream.set_epoch(epoch)
+            dev.set_epoch(epoch)
+            a, b = list(stream), list(dev)
+            assert len(a) == len(b) == len(stream)
+            for x, y in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_with_indices_extras_match(self, data_dir):
+        stream, dev = self._loaders(data_dir, with_indices=True)
+        for (xa, ia), (xb, ib) in zip(stream, dev):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+            np.testing.assert_array_equal(ia, ib)
+
+    def test_squeeze_accum_val_shape(self, data_dir):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from lunaris_orion_tpu.parallel import make_mesh
+        ds = SpriteDataset(data_dir, image_size=32)
+        mesh = make_mesh((8, 1))
+        shard = NamedSharding(mesh, P("data"))
+        loader = BatchLoader(ds, np.arange(64), batch_size=8, accum_steps=1,
+                             shuffle=False, squeeze_accum=True,
+                             sharding=shard, device_data=True)
+        got = list(loader)
+        assert got[0].shape == (8, 32, 32, 3)
+        assert loader.corpus_nbytes() == 64 * 32 * 32 * 3
+
+    def test_rejected_without_sharding_or_with_metadata(self, data_dir):
+        ds = SpriteDataset(data_dir, image_size=32)
+        with pytest.raises(ValueError):
+            BatchLoader(ds, np.arange(16), batch_size=4, device_data=True)
