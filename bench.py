@@ -23,13 +23,18 @@ FLOPs are batch-independent, so the baseline rate is one number shared by
 every operating point below.
 
 The JSON line is self-describing (r4): it carries the headline operating
-point (micro-batch x grad-accum = effective batch) AND two live-measured
+point (micro-batch x grad-accum = effective batch) AND three live-measured
 companion points so the file alone tells the whole story:
   - vs_baseline_1x128: single micro-step, no accumulation (the honest
     "how fast is one step" number; accumulation amortizes ~2 ms of
     optimizer+fixed cost across micro-steps);
   - vs_baseline_b64_recipe: the reference's own high-end recipe operating
-    point, batch 64 / accum 1 (README.md:102-118).
+    point, batch 64 / accum 1 (README.md:102-118);
+  - vs_baseline_b64_accum16 (r5): the same recipe with the reference's own
+    --gradient_accumulation_steps=16 at micro-batch 64 — the best
+    semantics-preserving rate at the reference's micro-batch (decomposition
+    and floor attribution: tools/bench_b64_recipe.py, BASELINE.md r5,
+    docs/b64_recipe_r5.json).
 
 Prints ONE JSON line to stdout; human detail goes to stderr.
 """
@@ -186,6 +191,13 @@ def main():
     # Companions: single micro-step, and the reference's own b64 recipe.
     dt_1x128 = measure_point(MICRO, 1, COMPANION_ITERS, COMPANION_REPS)
     dt_b64 = measure_point(64, 1, COMPANION_ITERS, COMPANION_REPS)
+    # r5: the reference recipe WITH its own --gradient_accumulation_steps
+    # flag at its own micro-batch 64 — the best semantics-preserving
+    # answer to the b64 point (tools/bench_b64_recipe.py decomposition:
+    # fwd+bwd alone is 14.45 ms at b64, so per-update amortization tops
+    # out near the 0.70x compute floor; micro-128 is the real fix).
+    dt_b64_a16 = measure_point(64, 16, max(4, COMPANION_ITERS // 4),
+                               COMPANION_REPS)
 
     print(json.dumps({
         "metric": "train_sprites_per_sec_per_chip_vae128",
@@ -199,6 +211,7 @@ def main():
         },
         "vs_baseline_1x128": round(MICRO / dt_1x128 / baseline, 3),
         "vs_baseline_b64_recipe": round(64 / dt_b64 / baseline, 3),
+        "vs_baseline_b64_accum16": round(64 * 16 / dt_b64_a16 / baseline, 3),
     }))
 
 
