@@ -123,15 +123,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "forbid (--no-use_pallas) the Pallas attention "
                         "kernel; default: auto dispatch")
     g.add_argument("--attn_impl", type=str, default=d.attn_impl,
-                   choices=("auto", "full", "flash", "pallas", "ring"),
-                   help="teacher attention implementation. 'ring' = cross-"
-                        "chip context parallelism: the token axis shards "
-                        "over the mesh model axis (--mesh_shape DATA MODEL "
-                        "with MODEL > 1) and k/v chunks rotate over ICI; "
-                        "experts are replicated. Use when one chip cannot "
-                        "hold the attention working set (large "
-                        "--image_size); at 128px a single chip is faster "
-                        "(docs/parallelism.md)")
+                   choices=("auto", "full", "flash", "pallas", "ring",
+                            "allgather"),
+                   help="teacher attention implementation. 'ring' / "
+                        "'allgather' = cross-chip context parallelism: the "
+                        "token axis shards over the mesh model axis "
+                        "(--mesh_shape DATA MODEL with MODEL > 1); experts "
+                        "are replicated. 'allgather' runs the fused kernel "
+                        "per shard (4-5x cheaper compute than 'ring' for "
+                        "the same wire bytes; prefer it unless the "
+                        "gathered k/v exceeds HBM). Use CP when one chip "
+                        "cannot hold the attention working set (large "
+                        "--image_size) or per-step latency at tiny batch "
+                        "matters; at 128px batch>=chips a single chip per "
+                        "batch row is faster (docs/parallelism.md, "
+                        "BASELINE.md r5)")
     g.add_argument("--attn_window", type=int, default=d.attn_window,
                    help="teacher attention window in tokens (0 = global). "
                         "The CORRECTED form of the reference's intended "

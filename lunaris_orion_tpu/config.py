@@ -152,14 +152,20 @@ class TrainConfig:
     attn_impl: str = "auto"     # teacher attention implementation:
                                 # 'auto' (dispatch; respects use_pallas),
                                 # 'full' | 'flash' | 'pallas' (force one
-                                # single-device path), or 'ring' — cross-
-                                # chip context parallelism: the token axis
+                                # single-device path), or cross-chip
+                                # context parallelism: the token axis
                                 # N = H*W shards over the mesh 'model'
-                                # axis and k/v rotate via ppermute
-                                # (parallel/ring_attention.py). 'ring'
-                                # requires a mesh with model axis > 1 and
-                                # replicates experts (the model axis
-                                # carries sequence, not experts).
+                                # axis as either 'ring' (k/v rotate via
+                                # ppermute — O(N/p) streaming memory) or
+                                # 'allgather' (k/v gathered once, fused
+                                # Pallas kernel per shard — 4-5x cheaper
+                                # compute for the same wire bytes,
+                                # BASELINE.md r5; prefer it when the full
+                                # k/v fits HBM). Both require a mesh with
+                                # model axis > 1 and replicate experts
+                                # (the model axis carries sequence, not
+                                # experts); see
+                                # parallel/ring_attention.py.
     attn_window: int = 0        # >0: teacher attention restricted to
                                 # windows of this many tokens — the
                                 # CORRECTED form of the reference's

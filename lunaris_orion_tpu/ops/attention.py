@@ -294,7 +294,8 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                                 window: Optional[int] = None) -> jax.Array:
     """Full PixelArtAttention module: qkv -> blockwise attn(+rel-pos) -> proj.
 
-    `impl`: 'auto' | 'full' | 'flash' | 'pallas' | 'ring'. Dropout is
+    `impl`: 'auto' | 'full' | 'flash' | 'pallas' | 'ring' | 'allgather'.
+    Dropout is
     applied to attention probabilities and to the projected output, as in
     the reference (lunar_evaluator.py:139-140,211-225).
 
@@ -303,15 +304,22 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
     realization of the reference's intended memory-efficient chunking
     (local_window_attention). Overrides `impl` when < N.
 
-    impl='ring' (requires cp_mesh + cp_axis) shards the token axis N = H*W
-    over the mesh axis and runs cross-chip ring attention
-    (parallel/ring_attention.py) — context parallelism the reference cannot
-    express. Composes with the teacher's expert vmap (shard_map batches
-    cleanly under vmap; parity pinned in tests/test_ring_attention.py) and
-    with jax.checkpoint/grad/scan, so it is usable as the teacher attention
-    inside the full train step (--attn_impl ring). `cp_batch_axis` names
-    the mesh axis the batch dim is sharded over (pass the data axis inside
-    the DP train step so the ring never gathers the batch).
+    impl='ring' / impl='allgather' (both require cp_mesh + cp_axis) shard
+    the token axis N = H*W over the mesh axis and run cross-chip context
+    parallelism (parallel/ring_attention.py) — a strategy the reference
+    cannot express. 'ring' rotates k/v chunks via ppermute (O(N/p)
+    streaming memory, XLA chunk compute — measured rho 4-5x the fused
+    kernel, BASELINE.md r5); 'allgather' gathers k/v once per call and
+    runs the SAME fused Pallas kernel per shard at rho ~= 1 for identical
+    wire bytes — prefer it whenever the gathered k/v fits HBM (always at
+    sprite scale). Both compose with the teacher's expert vmap (shard_map
+    batches cleanly under vmap; parity pinned in
+    tests/test_ring_attention.py) and with jax.checkpoint/grad/scan, so
+    they are usable as the teacher attention inside the full train step
+    (--attn_impl ring|allgather). `cp_batch_axis` names the mesh axis the
+    batch dim is sharded over (pass the data axis inside the DP train
+    step so CP never gathers the batch; dropout then seeds from global
+    batch rows — still bit-identical to the single-device kernel).
     """
     b, h, w, c = x.shape
     n = h * w
@@ -328,7 +336,7 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
         raise ValueError(f"window must be positive, got {window} "
                          "(use None / --attn_window 0 for global)")
     windowed = window is not None and window < n
-    if windowed and impl in ("ring", "pallas"):
+    if windowed and impl in ("ring", "allgather", "pallas"):
         # Both are explicit requests the window path cannot honor; silent
         # substitution would mask exactly what the forced setting asserts.
         raise ValueError(
@@ -389,12 +397,12 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
                     f"N={n} exceeds the TPU's 16M scoped-VMEM stack "
                     "(measured 16.5M at f32/d64/N16384, r5); run in bf16 "
                     "(--mixed_precision / --bf16) or use_pallas=None/False")
-        if impl == "ring":
+        if impl in ("ring", "allgather"):
             if cp_mesh is None or cp_axis is None:
-                raise ValueError("impl='ring' needs cp_mesh and cp_axis")
+                raise ValueError(f"impl={impl!r} needs cp_mesh and cp_axis")
             if n % cp_mesh.shape[cp_axis] != 0:
                 raise ValueError(
-                    f"impl='ring': N={n} not divisible by mesh axis "
+                    f"impl={impl!r}: N={n} not divisible by mesh axis "
                     f"{cp_axis!r} size {cp_mesh.shape[cp_axis]}")
             from lunaris_orion_tpu.parallel.ring_attention import (
                 ring_attention_sharded)
@@ -407,7 +415,8 @@ def spatial_attention_reference(params: Params, x: jax.Array, *,
             out = ring_attention_sharded(q, k, v, bias, mesh=cp_mesh,
                                          axis=cp_axis, dropout_rate=rate,
                                          seed=seed,
-                                         batch_axis=cp_batch_axis)
+                                         batch_axis=cp_batch_axis,
+                                         mode=impl)
         elif impl == "full":
             out = full_attention(q, k, v, bias, dropout_rate=dropout_rate,
                                  rng=attn_rng, train=train)

@@ -151,22 +151,26 @@ def _mxu_sum() -> bool:
     return _os.environ.get("LUNARIS_ATTN_MXU_SUM", "0") == "1"
 
 
-def _prng_dropout(n: int) -> bool:
+def _prng_dropout(nq: int, nk: int = None) -> bool:
     """Whole-call PRNG-dropout eligibility, decided ONCE per attention call
-    from the sequence length: every tile shape the forward AND backward
-    kernels will derive from n must be 512-aligned, otherwise ALL kernels
-    fall back to the hash mask together. A per-kernel (per-tile-shape)
-    decision would let the forward use the PRNG mask while a backward
-    kernel with a smaller non-aligned tiling silently used the hash mask —
-    different dropout masks between forward and backward, i.e. corrupt
-    gradients (found in review; pinned by
-    tests/test_pallas_attention.py::test_prng_eligibility_consistent)."""
+    from the sequence length(s): every tile shape the forward AND backward
+    kernels will derive from them must be 512-aligned, otherwise ALL
+    kernels fall back to the hash mask together. A per-kernel
+    (per-tile-shape) decision would let the forward use the PRNG mask
+    while a backward kernel with a smaller non-aligned tiling silently
+    used the hash mask — different dropout masks between forward and
+    backward, i.e. corrupt gradients (found in review; pinned by
+    tests/test_pallas_attention.py::test_prng_eligibility_consistent).
+    nk defaults to nq (the square single-device call); the CP shard path
+    (q rows nq = N/p vs gathered keys nk = N) passes both."""
+    if nk is None:
+        nk = nq
     if _os.environ.get("LUNARIS_ATTN_DROPOUT", "hash") != "prng":
         return False
     if _interpret():
         return False  # pltpu.prng_* needs real Mosaic
-    blocks = (_pick_block(n, BLOCK_Q), _pick_block(n, BLOCK_K),
-              _pick_block(n, BWD_BLOCK_Q), _pick_block(n, BWD_BLOCK_K))
+    blocks = (_pick_block(nq, BLOCK_Q), _pick_block(nk, BLOCK_K),
+              _pick_block(nq, BWD_BLOCK_Q), _pick_block(nk, BWD_BLOCK_K))
     return all(b % _PRNG_GRAIN == 0 for b in blocks)
 
 
@@ -225,6 +229,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _out_struct(shape, dtype, *operands):
+    """ShapeDtypeStruct for a pallas_call output, carrying the union of the
+    operands' varying-mesh-axes (vma) when tracing inside a
+    `check_vma=True` shard_map (the CP allgather path calls the kernel
+    per shard there); plain struct everywhere else."""
+    try:
+        vma = frozenset().union(
+            *(getattr(jax.typeof(x), "vma", frozenset()) for x in operands))
+        if vma:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    except Exception:
+        pass
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 _C1 = int(np.uint32(0x9E3779B9).astype(np.int32))
 _C2 = int(np.uint32(0x85EBCA6B).astype(np.int32))
 _C3 = int(np.uint32(0xC2B2AE35).astype(np.int32))
@@ -241,10 +260,17 @@ def _dropout_threshold(keep_prob: float) -> jnp.ndarray:
     return jnp.uint32(min(int(keep_prob * 4294967296.0), 0xFFFFFFFF))
 
 
-def _row_seeds(seed, bh: int) -> jax.Array:
-    """[BH, 1, 128] int32 per-(batch*head) seed lane (index_map-routable)."""
+def _row_seeds(seed, bh: int, roff=None) -> jax.Array:
+    """[BH, 1, 128] int32 per-(batch*head) seed lane (index_map-routable).
+    `roff` (traced int32 scalar, optional): offset added to the flattened
+    B*H row index — the CP path with a sharded batch passes its shard's
+    global first row (b0*H) so dropout decisions stay bit-identical to
+    the single-device call's per GLOBAL (batch, head)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
+    if roff is not None:
+        rows = rows + roff.astype(jnp.int32)
     rows = seed.reshape(1, 1, 1).astype(jnp.int32) ^ (
-        jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0) * jnp.int32(_C1))
+        rows * jnp.int32(_C1))
     return jnp.broadcast_to(rows, (bh, 1, 128))
 
 
@@ -391,41 +417,53 @@ _PARALLEL2 = pltpu.CompilerParams(
 
 
 def _fwd(qT, kT, vT, bias3, seed, *, block_q: int, block_k: int,
-         dropout_rate: float):
-    """qT pre-scaled by d^-0.5; bias3: [H, 1, N]; seed: int32 scalar array.
-    Returns (oT [BH,d,N], lse [BH,1,N])."""
-    bh, d, n = qT.shape
+         dropout_rate: float, qoff=None, roff=None):
+    """qT pre-scaled by d^-0.5; bias3: [H, 1, Nk]; seed: int32 scalar array.
+    Returns (oT [BH,d,Nq], lse [BH,1,Nq]).
+
+    Rectangular (Nq != Nk) is supported for the context-parallel shard
+    path (parallel/ring_attention.py allgather mode): q holds this shard's
+    Nq = N/p rows, k/v/bias the full gathered N. `qoff` (traced int32
+    scalar, tokens; must be a multiple of the q block size — guaranteed
+    when shard boundaries are block-aligned) shifts the q positions the
+    dropout hash sees, so shard masks are bit-identical to the
+    single-device kernel's at the same seed."""
+    bh, d, nq = qT.shape
+    nk = kT.shape[2]
     h = bias3.shape[0]
-    bq = _pick_block(n, block_q)
-    bk = _pick_block(n, block_k)
-    grid = (bh, n // bq)
+    bq = _pick_block(nq, block_q)
+    bk = _pick_block(nk, block_k)
+    grid = (bh, nq // bq)
+    qpos = _pos_lanes(nq // bq)
+    if qoff is not None:
+        qpos = qpos + qoff.astype(jnp.int32) // bq
     vm = dict(memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=bk,
                           dropout_rate=dropout_rate,
-                          use_prng=_prng_dropout(n),
+                          use_prng=_prng_dropout(nq, nk),
                           fold_bias=_fold_bias(), mxu_sum=_mxu_sum()),
         grid=grid,
         compiler_params=_PARALLEL2,
         in_specs=[
             _lane_spec(lambda b, i: (b, 0, 0)),                     # row seeds
             _lane_spec(lambda b, i: (i, 0, 0)),                     # q pos
-            pl.BlockSpec((1, 1, n), lambda b, i: (jax.lax.rem(b, h), 0, 0),
+            pl.BlockSpec((1, 1, nk), lambda b, i: (jax.lax.rem(b, h), 0, 0),
                          **vm),                                     # bias
             pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),  # qT
-            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),   # kT
-            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),   # vT
+            pl.BlockSpec((1, d, nk), lambda b, i: (b, 0, 0), **vm),  # kT
+            pl.BlockSpec((1, d, nk), lambda b, i: (b, 0, 0), **vm),  # vT
         ],
         out_specs=(
             pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
             pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), **vm),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, d, n), qT.dtype),
-            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+            _out_struct((bh, d, nq), qT.dtype, qT, kT, vT, bias3),
+            _out_struct((bh, 1, nq), jnp.float32, qT, kT, vT, bias3),
         ),
         interpret=_interpret(),
-    )(_row_seeds(seed, bh), _pos_lanes(n // bq), bias3, qT, kT, vT)
+    )(_row_seeds(seed, bh, roff), qpos, bias3, qT, kT, vT)
     return o, lse
 
 
@@ -473,10 +511,14 @@ def _bwd_dq_kernel(seed_ref, qpos_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)   # [d, bq] accumulator, not per tile
 
 
-def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
-                    do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dbias_ref, *,
+def _bwd_dkv_kernel(seed_ref, kpos_ref, qoff_ref, bias_ref, q_ref, k_ref,
+                    v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                    dbias_ref, *,
                     block_q: int, dropout_rate: float, use_prng: bool):
     # q pre-scaled: dk = q_scaled @ ds already carries the d^-0.5 factor.
+    # qoff_ref: absolute token offset of the q rows (lane input; 0 for the
+    # square call, the shard offset on the CP allgather path) — the
+    # dropout hash must see ABSOLUTE q positions.
     d, bk = k_ref.shape[1], k_ref.shape[2]
     n = q_ref.shape[2]
     nq = n // block_q
@@ -485,6 +527,7 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     bias_blk = bias_ref[0, 0, :][:, None]                           # [bk, 1]
     row_seed = seed_ref[0, 0, 0]
     k_id = kpos_ref[0, 0, 0]
+    q_off = qoff_ref[0, 0, 0]
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(i, carry):
@@ -500,7 +543,7 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            keep = _mask_for(row_seed, k_id * bk, i * block_q,
+            keep = _mask_for(row_seed, k_id * bk, q_off + i * block_q,
                               pT.shape, 1.0 - dropout_rate, use_prng)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
             pT_v = jnp.where(keep, pT * inv_keep, 0.0)
@@ -528,10 +571,10 @@ def _bwd_dkv_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     dbias_ref[0] = dbias
 
 
-def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
-                      do_ref, lse_ref, delta_ref, dq_ref, dk_ref, dv_ref,
-                      dbias_ref, *, block_q: int, dropout_rate: float,
-                      use_prng: bool):
+def _bwd_fused_kernel(seed_ref, kpos_ref, qoff_ref, bias_ref, q_ref, k_ref,
+                      v_ref, do_ref, lse_ref, delta_ref, dq_ref, dk_ref,
+                      dv_ref, dbias_ref, *, block_q: int,
+                      dropout_rate: float, use_prng: bool):
     """Single-pass backward: one program = one (bh, kv-block); dq is a
     whole-row f32 VMEM accumulator revisited across the kv grid dimension
     (1 MB at d=16, N=16384 — fits), zero-initialized at the first kv block.
@@ -549,9 +592,10 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
     bias_blk = bias_ref[0, 0, :][:, None]                           # [bk, 1]
     row_seed = seed_ref[0, 0, 0]
     k_id = kpos_ref[0, 0, 0]
+    q_off = qoff_ref[0, 0, 0]
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
-    @pl.when(k_id == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
@@ -568,7 +612,7 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         dpT = jax.lax.dot_general(vT, doT, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
-            keep = _mask_for(row_seed, k_id * bk, i * block_q,
+            keep = _mask_for(row_seed, k_id * bk, q_off + i * block_q,
                               pT.shape, 1.0 - dropout_rate, use_prng)
             dpT = jnp.where(keep, dpT * inv_keep, 0.0)
             pT_v = jnp.where(keep, pT * inv_keep, 0.0)
@@ -596,8 +640,10 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
         dk = dk * LN2
         dbias = dbias * LN2
 
-        # The whole-row dq accumulator is scaled once, at the last kv block.
-        @pl.when(k_id == (q_ref.shape[2] // bk) - 1)
+        # The whole-row dq accumulator is scaled once, at the last kv block
+        # (grid dim 1 counts kv blocks — correct for rectangular Nq != Nk
+        # too, where q_ref.shape[2] // bk would be wrong).
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
         def _():
             dq_ref[0] = dq_ref[0] * LN2
     dk_ref[0] = dk.astype(dk_ref.dtype)
@@ -609,22 +655,28 @@ def _bwd_fused_kernel(seed_ref, kpos_ref, bias_ref, q_ref, k_ref, v_ref,
 # custom_vjp wrapper (dropout_rate is a static nondiff arg)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _flash(qT, kT, vT, bias, seed, dropout_rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _flash(qT, kT, vT, bias, seed, qoff, roff, dropout_rate):
     """qT PRE-SCALED by d^-0.5 (callers scale once; autodiff through that
-    outside multiply restores the factor on dq)."""
+    outside multiply restores the factor on dq). qoff: int32 scalar array,
+    absolute token offset of the q rows (0 for the square single-device
+    call; the CP shard offset in allgather mode). roff: int32 scalar
+    array, offset of the flattened B*H dropout-seed row (0 single-device;
+    b0*H when the CP batch dim is itself sharded)."""
     o, _ = _fwd(qT, kT, vT, bias[:, None, :], seed, block_q=BLOCK_Q,
-                block_k=BLOCK_K, dropout_rate=dropout_rate)
+                block_k=BLOCK_K, dropout_rate=dropout_rate, qoff=qoff,
+                roff=roff)
     return o
 
 
-def _vjp_fwd(qT, kT, vT, bias, seed, dropout_rate):
+def _vjp_fwd(qT, kT, vT, bias, seed, qoff, roff, dropout_rate):
     o, lse = _fwd(qT, kT, vT, bias[:, None, :], seed, block_q=BLOCK_Q,
-                  block_k=BLOCK_K, dropout_rate=dropout_rate)
-    return o, (qT, kT, vT, bias, seed, o, lse)
+                  block_k=BLOCK_K, dropout_rate=dropout_rate, qoff=qoff,
+                  roff=roff)
+    return o, (qT, kT, vT, bias, seed, qoff, roff, o, lse)
 
 
-def _bwd_blocks(n: int, d: int, fused: bool):
+def _bwd_blocks(n: int, d: int, fused: bool, nk: int = None):
     """Backward tile sizes, d-aware. The backward kernels hold whole-row
     [d, N] buffers (q/do in both decompositions; +dq f32 in the fused one)
     plus ~3 [bk, bq] f32 score temporaries, so the feasible kv tile
@@ -634,25 +686,35 @@ def _bwd_blocks(n: int, d: int, fused: bool):
     exceeds scoped VMEM by 44 KB at d=64 (the high-end recipe's head dim
     — it could not compile at all before this rule); bk=512 fits and
     ships there. The fused kernel needs bk<=512 beyond the 2 MB dq row
-    (d=48: 89.6 ms vs the two-kernel's 123.9)."""
+    (d=48: 89.6 ms vs the two-kernel's 123.9).
+
+    `nk` (default n): the key length when rectangular (CP shard path) —
+    q-side tiles derive from n (=Nq), kv-side tiles from nk; the VMEM
+    row-cap rule conservatively uses the larger of the two (the dq kernel
+    holds [d, Nk] k/v rows, the dkv kernels hold [d, Nq] q/do rows)."""
+    if nk is None:
+        nk = n
     bq = _pick_block(n, BWD_BLOCK_Q)
-    bk = _pick_block(n, BWD_BLOCK_K)
-    row_bytes = d * n * 4
+    bk = _pick_block(nk, BWD_BLOCK_K)
+    row_bytes = d * max(n, nk) * 4
     if fused and row_bytes > 2**21:
-        bk = min(bk, _pick_block(n, 512))
+        bk = min(bk, _pick_block(nk, 512))
     if not fused and row_bytes > 3 * 2**20:
-        bk = min(bk, _pick_block(n, 512))
+        bk = min(bk, _pick_block(nk, 512))
     return bq, bk
 
 
 def _vjp_bwd(dropout_rate, res, doT):
-    qT, kT, vT, bias, seed, o, lse = res
-    bh, d, n = qT.shape
+    qT, kT, vT, bias, seed, qoff, roff, o, lse = res
+    bh, d, n = qT.shape          # n = Nq (q rows; == Nk except on the CP
+    nk = kT.shape[2]             # shard path, where kT holds the full N)
     h = bias.shape[0]
     bias3 = bias[:, None, :]
-    seeds = _row_seeds(seed, bh)
+    seeds = _row_seeds(seed, bh, roff)
+    qoff32 = qoff.astype(jnp.int32)
+    qoff_lanes = jnp.broadcast_to(qoff32.reshape(1, 1, 1), (1, 1, 128))
     delta = jnp.sum(o.astype(jnp.float32) * doT.astype(jnp.float32),
-                    axis=1, keepdims=True)  # [BH, 1, N]
+                    axis=1, keepdims=True)  # [BH, 1, Nq]
 
     vm = dict(memory_space=pltpu.VMEM)
     # Fused single-pass backward when the whole-row dq accumulator fits
@@ -662,18 +724,19 @@ def _vjp_bwd(dropout_rate, res, doT):
     # VMEM-infeasible in every tiling and takes the two-kernel
     # decomposition. LUNARIS_ATTN_FUSED_DQ_BYTES overrides the gate).
     fused = _fused_bwd() and d * n * 4 <= _fused_dq_limit()
-    bq, bk = _bwd_blocks(n, d, fused)
+    bq, bk = _bwd_blocks(n, d, fused, nk)
     if fused:
         dq32, dk, dv, dbias_bh = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, block_q=bq,
                               dropout_rate=dropout_rate,
-                              use_prng=_prng_dropout(n)),
-            grid=(bh, n // bk),
+                              use_prng=_prng_dropout(n, nk)),
+            grid=(bh, nk // bk),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
             in_specs=[
                 _lane_spec(lambda b, j: (b, 0, 0)),
                 _lane_spec(lambda b, j: (j, 0, 0)),
+                _lane_spec(lambda b, j: (0, 0, 0)),                # q offset
                 pl.BlockSpec((1, 1, bk),
                              lambda b, j: (jax.lax.rem(b, h), 0, j), **vm),
                 pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
@@ -690,47 +753,51 @@ def _vjp_bwd(dropout_rate, res, doT):
                 pl.BlockSpec((1, 1, bk), lambda b, j: (b, 0, j), **vm),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct(qT.shape, jnp.float32),
-                jax.ShapeDtypeStruct(kT.shape, kT.dtype),
-                jax.ShapeDtypeStruct(vT.shape, vT.dtype),
-                jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+                _out_struct(qT.shape, jnp.float32, qT, kT, vT, bias3, doT),
+                _out_struct(kT.shape, kT.dtype, qT, kT, vT, bias3, doT),
+                _out_struct(vT.shape, vT.dtype, qT, kT, vT, bias3, doT),
+                _out_struct((bh, 1, nk), jnp.float32, qT, kT, vT, bias3,
+                            doT),
             ),
             interpret=_interpret(),
-        )(seeds, _pos_lanes(n // bk), bias3, qT, kT, vT, doT, lse, delta)
-        dbias = jnp.sum(dbias_bh.reshape(bh // h, h, n), axis=0)
+        )(seeds, _pos_lanes(nk // bk), qoff_lanes, bias3, qT, kT, vT, doT,
+          lse, delta)
+        dbias = jnp.sum(dbias_bh.reshape(bh // h, h, nk), axis=0)
         return (dq32.astype(qT.dtype), dk, dv, dbias.astype(bias.dtype),
-                None)
+                None, None, None)
+    qpos = _pos_lanes(n // bq) + qoff32 // bq
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, block_k=bk,
                           dropout_rate=dropout_rate,
-                          use_prng=_prng_dropout(n)),
+                          use_prng=_prng_dropout(n, nk)),
         grid=(bh, n // bq),
         compiler_params=_PARALLEL2,
         in_specs=[
             _lane_spec(lambda b, i: (b, 0, 0)),
             _lane_spec(lambda b, i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda b, i: (jax.lax.rem(b, h), 0, 0), **vm),
+            pl.BlockSpec((1, 1, nk), lambda b, i: (jax.lax.rem(b, h), 0, 0), **vm),
             pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
-            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),
-            pl.BlockSpec((1, d, n), lambda b, i: (b, 0, 0), **vm),
+            pl.BlockSpec((1, d, nk), lambda b, i: (b, 0, 0), **vm),
+            pl.BlockSpec((1, d, nk), lambda b, i: (b, 0, 0), **vm),
             pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
             pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), **vm),
             pl.BlockSpec((1, 1, bq), lambda b, i: (b, 0, i), **vm),
         ],
         out_specs=pl.BlockSpec((1, d, bq), lambda b, i: (b, 0, i), **vm),
-        out_shape=jax.ShapeDtypeStruct(qT.shape, qT.dtype),
+        out_shape=_out_struct(qT.shape, qT.dtype, qT, kT, vT, bias3, doT),
         interpret=_interpret(),
-    )(seeds, _pos_lanes(n // bq), bias3, qT, kT, vT, doT, lse, delta)
+    )(seeds, qpos, bias3, qT, kT, vT, doT, lse, delta)
 
     dk, dv, dbias_bh = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, block_q=bq,
                           dropout_rate=dropout_rate,
-                          use_prng=_prng_dropout(n)),
-        grid=(bh, n // bk),
+                          use_prng=_prng_dropout(n, nk)),
+        grid=(bh, nk // bk),
         compiler_params=_PARALLEL2,
         in_specs=[
             _lane_spec(lambda b, j: (b, 0, 0)),
             _lane_spec(lambda b, j: (j, 0, 0)),
+            _lane_spec(lambda b, j: (0, 0, 0)),                    # q offset
             pl.BlockSpec((1, 1, bk), lambda b, j: (jax.lax.rem(b, h), 0, j), **vm),
             pl.BlockSpec((1, d, n), lambda b, j: (b, 0, 0), **vm),
             pl.BlockSpec((1, d, bk), lambda b, j: (b, 0, j), **vm),
@@ -745,15 +812,16 @@ def _vjp_bwd(dropout_rate, res, doT):
             pl.BlockSpec((1, 1, bk), lambda b, j: (b, 0, j), **vm),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(kT.shape, kT.dtype),
-            jax.ShapeDtypeStruct(vT.shape, vT.dtype),
-            jax.ShapeDtypeStruct((bh, 1, n), jnp.float32),
+            _out_struct(kT.shape, kT.dtype, qT, kT, vT, bias3, doT),
+            _out_struct(vT.shape, vT.dtype, qT, kT, vT, bias3, doT),
+            _out_struct((bh, 1, nk), jnp.float32, qT, kT, vT, bias3, doT),
         ),
         interpret=_interpret(),
-    )(seeds, _pos_lanes(n // bk), bias3, qT, kT, vT, doT, lse, delta)
+    )(seeds, _pos_lanes(nk // bk), qoff_lanes, bias3, qT, kT, vT, doT,
+      lse, delta)
 
-    dbias = jnp.sum(dbias_bh.reshape(bh // h, h, n), axis=0)  # [H, N]
-    return dq, dk, dv, dbias.astype(bias.dtype), None
+    dbias = jnp.sum(dbias_bh.reshape(bh // h, h, nk), axis=0)  # [H, Nk]
+    return dq, dk, dv, dbias.astype(bias.dtype), None, None, None
 
 
 _flash.defvjp(_vjp_fwd, _vjp_bwd)
@@ -762,13 +830,29 @@ _flash.defvjp(_vjp_fwd, _vjp_bwd)
 def flash_attention_tpu(qT: jax.Array, kT: jax.Array, vT: jax.Array,
                         bias: jax.Array, *,
                         dropout_rate: float = 0.0,
-                        seed: Optional[jax.Array] = None) -> jax.Array:
-    """qT/kT/vT: [B*H, d, N]; bias: [H, N] f32 per-key. Returns oT [B*H, d, N].
-    softmax(qk^T * d^-0.5 + bias) v with optional prob-dropout."""
+                        seed: Optional[jax.Array] = None,
+                        q_offset: Optional[jax.Array] = None,
+                        row_offset: Optional[jax.Array] = None) -> jax.Array:
+    """qT: [B*H, d, Nq]; kT/vT: [B*H, d, Nk]; bias: [H, Nk] f32 per-key.
+    Returns oT [B*H, d, Nq] = softmax(qk^T * d^-0.5 + bias) v with
+    optional prob-dropout. Nq == Nk for the ordinary square call; the CP
+    allgather shard path passes its q shard (Nq = N/p) against the full
+    gathered keys (Nk = N) with `q_offset` = the shard's absolute token
+    offset (traced int ok; must be a multiple of the q block size, which
+    holds whenever Nq is a multiple of 128·#shards-per-block — dropout
+    masks are then bit-identical to the square call's)."""
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
     else:
         seed = jnp.asarray(seed, jnp.int32).reshape(())
+    if q_offset is None:
+        q_offset = jnp.zeros((), jnp.int32)
+    else:
+        q_offset = jnp.asarray(q_offset, jnp.int32).reshape(())
+    if row_offset is None:
+        row_offset = jnp.zeros((), jnp.int32)
+    else:
+        row_offset = jnp.asarray(row_offset, jnp.int32).reshape(())
     # Scale q once here (outside the custom_vjp): kernels then skip the
     # per-tile [bk, bq] multiply, and d^-0.5 re-enters dq via this op's AD.
     # exp2 mode folds log2(e) into q and bias here too — scores then live in
@@ -778,16 +862,24 @@ def flash_attention_tpu(qT: jax.Array, kT: jax.Array, vT: jax.Array,
         s = s * LOG2E
         bias = bias * jnp.asarray(LOG2E, bias.dtype)
     scale = jnp.asarray(s, qT.dtype)
-    return _flash(qT * scale, kT, vT, bias, seed, float(dropout_rate))
+    return _flash(qT * scale, kT, vT, bias, seed, q_offset, row_offset,
+                  float(dropout_rate))
 
 
 def attention_bhnd(q, k, v, bias, *, dropout_rate: float = 0.0,
-                   seed: Optional[jax.Array] = None) -> jax.Array:
-    """Convenience adapter: q/k/v [B, H, N, d] + bias [H, N] -> [B, H, N, d],
-    converting to/from the kernel's transposed layout."""
-    b, h, n, d = q.shape
-    to_t = lambda x: x.transpose(0, 1, 3, 2).reshape(b * h, d, n)
+                   seed: Optional[jax.Array] = None,
+                   q_offset: Optional[jax.Array] = None,
+                   row_offset: Optional[jax.Array] = None) -> jax.Array:
+    """Convenience adapter: q [B, H, Nq, d], k/v [B, H, Nk, d] + bias
+    [H, Nk] -> [B, H, Nq, d], converting to/from the kernel's transposed
+    layout. Nq != Nk (+ `q_offset`) is the CP allgather shard call — see
+    flash_attention_tpu."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    to_t = lambda x: x.transpose(0, 1, 3, 2).reshape(
+        b * h, d, x.shape[2])
     oT = flash_attention_tpu(to_t(q), to_t(k), to_t(v),
                              bias.astype(jnp.float32),
-                             dropout_rate=dropout_rate, seed=seed)
-    return oT.reshape(b, h, d, n).transpose(0, 1, 3, 2)
+                             dropout_rate=dropout_rate, seed=seed,
+                             q_offset=q_offset, row_offset=row_offset)
+    return oT.reshape(b, h, d, nq).transpose(0, 1, 3, 2)

@@ -87,11 +87,17 @@ def _keep_mask_qk(row_seed: jax.Array, q0: jax.Array, k0: jax.Array,
     return lax.bitcast_convert_type(h, jnp.uint32) < threshold
 
 
-def _row_seed_bh(seed: jax.Array, b: int, h: int) -> jax.Array:
+def _row_seed_bh(seed: jax.Array, b: int, h: int, b0=None) -> jax.Array:
     """[B, H, 1, 1] int32 per-(batch, head) seed, matching `_row_seeds`'s
-    seed ^ row*C1 with row = b*H + h (the kernel's flattened BH order)."""
+    seed ^ row*C1 with row = b*H + h (the kernel's flattened BH order).
+    `b0` (traced int32, optional): this shard's global first batch row —
+    pass it when the batch dim is itself sharded over a mesh axis so
+    every shard seeds from GLOBAL rows (bit-parity with the single-device
+    kernel; without it shards would repeat rows 0..B_local-1's masks)."""
     rows = lax.broadcasted_iota(jnp.int32, (b, h, 1, 1), 0) * h \
         + lax.broadcasted_iota(jnp.int32, (b, h, 1, 1), 1)
+    if b0 is not None:
+        rows = rows + b0.astype(jnp.int32) * h
     return seed.astype(jnp.int32) ^ (rows * jnp.int32(_C1))
 
 
@@ -151,7 +157,8 @@ def ring_attention(q, k, v, bias, *, axis_name: str,
                    dropout_rate: float = 0.0,
                    seed: Optional[jax.Array] = None,
                    block_k: int = 512,
-                   varying_axes: Optional[tuple] = None) -> jax.Array:
+                   varying_axes: Optional[tuple] = None,
+                   batch_axis_name: Optional[str] = None) -> jax.Array:
     """Per-shard ring attention body — call INSIDE shard_map/pmap.
 
     q, k, v: [B, H, N/p, d] — this device's shard of the token axis.
@@ -180,8 +187,10 @@ def ring_attention(q, k, v, bias, *, axis_name: str,
 
     row_seed = None
     if dropout_rate > 0.0 and seed is not None:
+        b0 = (lax.axis_index(batch_axis_name) * b
+              if batch_axis_name is not None else None)
         row_seed = _row_seed_bh(jnp.asarray(seed, jnp.int32).reshape(()),
-                                b, h)
+                                b, h, b0)
 
     vary = tuple(varying_axes) if varying_axes else (axis_name,)
     acc0 = lax.pvary(jnp.zeros((b, h, nl, d), jnp.float32), vary)
@@ -220,16 +229,116 @@ def _unroll_ring() -> bool:
     return os.environ.get("LUNARIS_RING_UNROLL", "0") == "1"
 
 
+def allgather_attention(q, k, v, bias, *, axis_name: str,
+                        dropout_rate: float = 0.0,
+                        seed: Optional[jax.Array] = None,
+                        block_k: int = 512,
+                        varying_axes: Optional[tuple] = None,
+                        batch_axis_name: Optional[str] = None,
+                        use_kernel: Optional[bool] = None) -> jax.Array:
+    """Per-shard allgather context parallelism — call INSIDE shard_map.
+
+    Same contract as `ring_attention` (q/k/v [B,H,N/p,d] shards of the
+    token axis; bias [H,N/p] or None; returns the local output shard),
+    different wire/compute trade: instead of rotating k/v chunks p times
+    through an XLA online-softmax carry — measured at rho = 4-5x the
+    fused kernel's cost per chip (tools/bench_ring.py, BASELINE.md r5
+    "Ring context parallelism, priced") — it all-gathers the full
+    k/v/bias ONCE per call and runs the SAME fused Pallas kernel the
+    single-chip path uses, on (q shard x full keys) with the shard's
+    absolute `q_offset`. The bytes on the wire are identical — each chip
+    receives (p-1)/p of k/v(+bias) either way — but the compute runs at
+    kernel efficiency (rho ~= 1). The cost is O(N) k/v HBM per chip
+    instead of ring's O(N/p) streaming; at sprite scale (N=16384, d=16
+    bf16: 17 MB gathered per call) that is never binding — reach for
+    `ring_attention` only when the gathered k/v cannot fit.
+
+    Dropout masks are bit-identical to the single-device kernel's and to
+    the ring's for the same seed (the hash sees absolute (q, k)
+    coordinates via `q_offset`). Gradients: the all_gather transposes to
+    a reduce-scatter of the kernel's dk/dv/dbias — GSPMD/Shardy insert
+    it; with check_vma on, partially-replicated inputs (bias, and q/k/v
+    when the batch axis is replicated) get their cotangent psums exactly
+    as in the ring (same failure mode, same guard).
+
+    `use_kernel`: None = auto (fused kernel on TPU when the shard/full
+    lengths tile and the dtype/head-dim gates pass — mirrors
+    ops.attention's dispatch); False forces the XLA `_accum_chunk` fold
+    (the CPU/odd-shape fallback, bit-parity dropout); True forces the
+    kernel (interpret mode off-TPU — tests only).
+    """
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    b, h, nl, d = q.shape
+    n = nl * p
+    orig = q.dtype
+    q0 = idx * nl
+    if seed is None:
+        dropout_rate = 0.0
+
+    k_full = lax.all_gather(k, axis_name, axis=2, tiled=True)
+    v_full = lax.all_gather(v, axis_name, axis=2, tiled=True)
+    bias_full = (lax.all_gather(bias, axis_name, axis=1, tiled=True)
+                 if bias is not None else None)
+
+    if use_kernel is None:
+        from lunaris_orion_tpu.ops.attention import _pallas_vmem_risk
+        from lunaris_orion_tpu.ops.pallas.flash_attention import (
+            supported_seq_len)
+        use_kernel = (
+            jax.default_backend() == "tpu"
+            and supported_seq_len(n) and supported_seq_len(nl)
+            and d % (16 if orig == jnp.bfloat16 else 8) == 0
+            and not _pallas_vmem_risk(orig, d, n))
+    b0 = (lax.axis_index(batch_axis_name) * b
+          if batch_axis_name is not None else None)
+    if use_kernel:
+        from lunaris_orion_tpu.ops.pallas.flash_attention import (
+            attention_bhnd)
+        bias_k = (bias_full if bias_full is not None
+                  else jnp.zeros((h, n), jnp.float32))
+        return attention_bhnd(q, k_full, v_full, bias_k,
+                              dropout_rate=dropout_rate, seed=seed,
+                              q_offset=q0,
+                              row_offset=(None if b0 is None else b0 * h))
+
+    # XLA fallback: one _accum_chunk fold over the gathered keys — the
+    # ring's blockwise recurrence with k0=0, bit-parity hash dropout.
+    row_seed = None
+    if dropout_rate > 0.0 and seed is not None:
+        row_seed = _row_seed_bh(jnp.asarray(seed, jnp.int32).reshape(()),
+                                b, h, b0)
+    vary = tuple(varying_axes) if varying_axes else (axis_name,)
+    acc0 = lax.pvary(jnp.zeros((b, h, nl, d), jnp.float32), vary)
+    m0 = lax.pvary(jnp.full((b, h, nl, 1), -jnp.inf, jnp.float32), vary)
+    l0 = lax.pvary(jnp.zeros((b, h, nl, 1), jnp.float32), vary)
+    acc, _, l = _accum_chunk(
+        acc0, m0, l0, q.astype(jnp.float32), k_full, v_full, bias_full,
+        q0=q0, k0=jnp.int32(0), scale=d ** -0.5, block_k=block_k,
+        dropout_rate=dropout_rate, row_seed=row_seed)
+    return (acc / jnp.maximum(l, 1e-30)).astype(orig)
+
+
 def ring_attention_sharded(q, k, v, bias, *, mesh: Mesh, axis: str,
                            dropout_rate: float = 0.0,
                            seed: Optional[jax.Array] = None,
                            block_k: int = 512,
-                           batch_axis: Optional[str] = None) -> jax.Array:
+                           batch_axis: Optional[str] = None,
+                           mode: str = "ring",
+                           use_kernel: Optional[bool] = None) -> jax.Array:
     """Global-view convenience wrapper: shard q/k/v[B,H,N,d] and bias[H,N]
-    on the token axis over `axis` and run the ring. Composable under jit —
+    on the token axis over `axis` and run context-parallel attention.
+    Composable under jit —
     GSPMD inserts any reshards the in_specs demand — and under `jax.vmap`
     (e.g. the teacher's stacked-expert axis; parity pinned in
     tests/test_ring_attention.py).
+
+    `mode`: 'ring' (ppermute k/v rotation, O(N/p) streaming memory) or
+    'allgather' (gather k/v once, run the fused Pallas kernel per shard
+    at rho ~= 1 — see `allgather_attention`; `use_kernel` forwards there).
+    Identical numerics and bit-identical dropout either way; allgather is
+    4-5x cheaper per chip whenever the gathered k/v fits HBM
+    (BASELINE.md r5 pricing).
 
     `batch_axis`: mesh axis the batch dim is sharded over (None =
     replicated). Inside the data-parallel train step pass the 'data' axis
@@ -243,23 +352,29 @@ def ring_attention_sharded(q, k, v, bias, *, mesh: Mesh, axis: str,
     replicated on — with the checker off those psums are silently
     dropped and grads come back wrong (caught by
     tests/test_sharding.py::test_ring_attention_train_step)."""
+    if mode not in ("ring", "allgather"):
+        raise ValueError(f"mode must be 'ring' or 'allgather', got {mode!r}")
     spec_qkv = P(batch_axis, None, axis, None)
     has_bias = bias is not None
     in_specs = (spec_qkv, spec_qkv, spec_qkv,
                 P(None, axis) if has_bias else None)
     vary = (axis,) + ((batch_axis,) if batch_axis is not None else ())
+    body = ring_attention if mode == "ring" else functools.partial(
+        allgather_attention, use_kernel=use_kernel)
 
     if has_bias:
-        fn = functools.partial(ring_attention, axis_name=axis,
+        fn = functools.partial(body, axis_name=axis,
                                dropout_rate=dropout_rate, seed=seed,
-                               block_k=block_k, varying_axes=vary)
+                               block_k=block_k, varying_axes=vary,
+                               batch_axis_name=batch_axis)
         return _shard_map_checked(fn, mesh, in_specs,
                                   spec_qkv)(q, k, v, bias)
 
     def fn_nobias(q, k, v):
-        return ring_attention(q, k, v, None, axis_name=axis,
-                              dropout_rate=dropout_rate, seed=seed,
-                              block_k=block_k, varying_axes=vary)
+        return body(q, k, v, None, axis_name=axis,
+                    dropout_rate=dropout_rate, seed=seed,
+                    block_k=block_k, varying_axes=vary,
+                    batch_axis_name=batch_axis)
 
     return _shard_map_checked(fn_nobias, mesh,
                               (spec_qkv, spec_qkv, spec_qkv),

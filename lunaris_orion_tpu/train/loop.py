@@ -197,7 +197,8 @@ def _attn_impl(cfg: TrainConfig) -> str:
     """Resolve the teacher attention implementation from the two knobs.
 
     cfg.attn_impl != 'auto' selects an implementation directly ('full' /
-    'flash' / 'pallas' / 'ring'); conflicts with use_pallas raise rather
+    'flash' / 'pallas' / 'ring' / 'allgather'); conflicts with use_pallas
+    raise rather
     than letting one knob silently override the other. With attn_impl ==
     'auto': use_pallas True -> force Pallas (asserts backend/shape support,
     ops/attention.py), False -> force the XLA flash composition, None ->
@@ -261,21 +262,21 @@ class Trainer:
 
         impl = _attn_impl(cfg)
         self._cp = {}
-        if impl == "ring":
+        if impl in ("ring", "allgather"):
             from lunaris_orion_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
             mp = self.mesh.shape[MODEL_AXIS]
             n_tok = cfg.image_size * cfg.image_size
             if mp <= 1:
                 raise ValueError(
-                    "--attn_impl ring needs a mesh model axis > 1 (ring "
-                    f"context parallelism shards tokens over it); got mesh "
+                    f"--attn_impl {impl} needs a mesh model axis > 1 "
+                    f"(context parallelism shards tokens over it); got mesh "
                     f"{dict(self.mesh.shape)}. Pass --mesh_shape DATA MODEL")
             if n_tok % mp != 0:
                 raise ValueError(
-                    f"--attn_impl ring: token count {n_tok} "
+                    f"--attn_impl {impl}: token count {n_tok} "
                     f"(image_size^2) is not divisible by the model axis "
                     f"size {mp}")
-            # The ring's shard_map runs over the model axis; the batch dim
+            # The CP shard_map runs over the model axis; the batch dim
             # stays sharded over the data axis (no gather).
             self._cp = dict(cp_mesh=self.mesh, cp_axis=MODEL_AXIS,
                             cp_batch_axis=DATA_AXIS)
@@ -287,9 +288,10 @@ class Trainer:
         self.shardings = state_shardings(
             abstract, self.mesh, num_experts=self.tcfg.num_experts,
             latent_dim=self.vcfg.latent_dim,
-            # ring CP uses the model axis for the token dim — experts stay
-            # replicated (can't also shard them over the same axis).
-            shard_experts=impl != "ring")
+            # CP (ring/allgather) uses the model axis for the token dim —
+            # experts stay replicated (can't also shard them over the same
+            # axis).
+            shard_experts=impl not in ("ring", "allgather"))
         self.abstract_state = jax.tree_util.tree_map(
             lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
             abstract, self.shardings)

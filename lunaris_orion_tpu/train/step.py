@@ -66,10 +66,10 @@ def make_train_step(cfg: TrainConfig,
                     cp_mesh=None, cp_axis=None, cp_batch_axis=None):
     """Returns train_step(state, images[A, mb, H, W, C]) -> (state, metrics).
 
-    cp_mesh/cp_axis/cp_batch_axis (attn_impl='ring' only): the mesh and
-    axis names for ring context parallelism — the teacher's attention
-    token axis shards over cp_axis and the batch stays sharded over
-    cp_batch_axis (the DP axis), see parallel/ring_attention.py."""
+    cp_mesh/cp_axis/cp_batch_axis (attn_impl='ring'/'allgather' only):
+    the mesh and axis names for context parallelism — the teacher's
+    attention token axis shards over cp_axis and the batch stays sharded
+    over cp_batch_axis (the DP axis), see parallel/ring_attention.py."""
     vcfg = vcfg or cfg.vae_config()
     tcfg = tcfg or cfg.teacher_config()
     cp = dict(cp_mesh=cp_mesh, cp_axis=cp_axis, cp_batch_axis=cp_batch_axis)

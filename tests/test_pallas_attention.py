@@ -400,3 +400,79 @@ class TestPrngEligibility:
         a = fa._mask_for(seed, 0, 0, (256, 128), 0.9, False)
         b = fa._keep_mask(seed, 0, 0, (256, 128), 0.9)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRectangularOffset:
+    """r5: rectangular (Nq != Nk) kernel calls with a traced q/row offset —
+    the CP allgather shard contract (parallel/ring_attention.py): a shard
+    call on q rows [s, s+nl) against the full keys must equal the same
+    rows of the square full call, INCLUDING dropout decisions (the hash
+    sees absolute coordinates via q_offset) and gradients (dk/dv/dbias
+    from the shard call = the full call's contributions from those q
+    rows). row_offset does the same for a sharded batch dim."""
+
+    def test_fwd_shard_matches_full_slice(self):
+        q, k, v, bias = _make(jax.random.PRNGKey(40))
+        seed = jnp.int32(13)
+        full = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3,
+                                 seed=seed)
+        nl = 64
+        for s in (0, 64, 192):
+            sh = fa.attention_bhnd(q[:, :, s:s + nl], k, v, bias,
+                                   dropout_rate=0.3, seed=seed,
+                                   q_offset=jnp.int32(s))
+            np.testing.assert_allclose(
+                np.asarray(sh), np.asarray(full[:, :, s:s + nl]),
+                rtol=2e-5, atol=2e-6, err_msg=f"offset {s}")
+
+    @pytest.mark.parametrize("fused", ["1", "0"])
+    def test_grads_match_full(self, fused, monkeypatch):
+        monkeypatch.setenv("LUNARIS_ATTN_FUSED_BWD", fused)
+        q, k, v, bias = _make(jax.random.PRNGKey(41))
+        seed = jnp.int32(21)
+        s, nl = 64, 64
+
+        def loss_full(q, k, v, bias):
+            o = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3,
+                                  seed=seed)
+            return jnp.sum(jnp.sin(o[:, :, s:s + nl]))
+
+        def loss_shard(qs, k, v, bias):
+            o = fa.attention_bhnd(qs, k, v, bias, dropout_rate=0.3,
+                                  seed=seed, q_offset=jnp.int32(s))
+            return jnp.sum(jnp.sin(o))
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        gs = jax.grad(loss_shard, argnums=(0, 1, 2, 3))(
+            q[:, :, s:s + nl], k, v, bias)
+        pairs = [("dq", gf[0][:, :, s:s + nl], gs[0]), ("dk", gf[1], gs[1]),
+                 ("dv", gf[2], gs[2]), ("dbias", gf[3], gs[3])]
+        for name, a, b in pairs:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5, err_msg=name)
+
+    def test_row_offset_matches_batch_slice(self):
+        q, k, v, bias = _make(jax.random.PRNGKey(42), b=4)
+        h = q.shape[1]
+        seed = jnp.int32(31)
+        full = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3,
+                                 seed=seed)
+        b0, bs = 2, 2
+        sh = fa.attention_bhnd(q[b0:b0 + bs], k[b0:b0 + bs],
+                               v[b0:b0 + bs], bias, dropout_rate=0.3,
+                               seed=seed,
+                               row_offset=jnp.int32(b0 * h))
+        np.testing.assert_allclose(np.asarray(sh),
+                                   np.asarray(full[b0:b0 + bs]),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_no_offset_is_backwards_compatible(self):
+        """q_offset/row_offset default to 0: the square call's outputs are
+        unchanged by the r5 plumbing (same hash coordinates)."""
+        q, k, v, bias = _make(jax.random.PRNGKey(43))
+        seed = jnp.int32(3)
+        a = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3, seed=seed)
+        b = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.3, seed=seed,
+                              q_offset=jnp.int32(0),
+                              row_offset=jnp.int32(0))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -318,3 +318,129 @@ class TestRingUnrollKnob:
         for a, b in zip(g_un, g_scan):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-7)
+
+
+class TestAllgatherCP:
+    """mode='allgather' (r5): CP that gathers k/v once per call and runs
+    the rectangular fused kernel (TPU) / one `_accum_chunk` fold (CPU)
+    per shard — same contract and bit-identical dropout as the ring at
+    rho ~= 1 compute (pricing: BASELINE.md r5). These pin output/grad
+    parity vs the single-device kernel path, shard-count invariance,
+    the multi-shard KERNEL path itself (interpret mode, fwd), and the
+    global-row dropout seeds under a sharded batch axis."""
+
+    def test_matches_full_attention(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(20))
+        ref = attention.full_attention(q, k, v, bias)
+        out = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8),
+                                        axis="seq", mode="allgather")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_dropout_bit_parity_with_kernel(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(21))
+        seed = jnp.int32(321)
+        ref = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.25,
+                                seed=seed)
+        out = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8),
+                                        axis="seq", dropout_rate=0.25,
+                                        seed=seed, mode="allgather")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_kernel_path_multi_shard_fwd(self):
+        """The fused-kernel path itself (rectangular q shard + q_offset)
+        under an 8-shard mesh: interpret-mode Pallas inside a
+        check_vma=False shard_map (the vma checker cannot evaluate
+        interpret-mode pallas_call; the product runs this path on real
+        TPU where pallas lowers natively — grads of the kernel path are
+        pinned single-device in test_pallas_attention)."""
+        import functools
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(22))
+        seed = jnp.int32(77)
+        ref = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.25,
+                                seed=seed)
+        mesh = _mesh(8)
+        spec = P(None, None, "seq", None)
+        fn = jax.shard_map(
+            functools.partial(ra.allgather_attention, axis_name="seq",
+                              dropout_rate=0.25, seed=seed,
+                              use_kernel=True),
+            mesh=mesh, in_specs=(spec, spec, spec, P(None, "seq")),
+            out_specs=spec, check_vma=False)
+        out = fn(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-6, atol=1e-7)
+
+    @pytest.mark.slow
+    def test_gradients_match_kernel(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(23))
+        seed = jnp.int32(5)
+
+        def loss(fn):
+            def g(q, k, v, bias):
+                return jnp.sum(jnp.sin(fn(q, k, v, bias)))
+            return jax.grad(g, argnums=(0, 1, 2, 3))
+
+        g_ref = loss(lambda q, k, v, b: fa.attention_bhnd(
+            q, k, v, b, dropout_rate=0.25, seed=seed))(q, k, v, bias)
+        g_ag = loss(lambda q, k, v, b: ra.ring_attention_sharded(
+            q, k, v, b, mesh=_mesh(8), axis="seq", dropout_rate=0.25,
+            seed=seed, mode="allgather"))(q, k, v, bias)
+        for name, a, b2 in zip(("dq", "dk", "dv", "dbias"), g_ref, g_ag):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b2),
+                                       rtol=2e-4, atol=2e-5, err_msg=name)
+
+    def test_shard_count_invariance(self):
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(24))
+        kw = dict(axis="seq", dropout_rate=0.25, seed=jnp.int32(9),
+                  mode="allgather")
+        o2 = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(2), **kw)
+        o8 = ra.ring_attention_sharded(q, k, v, bias, mesh=_mesh(8), **kw)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o8),
+                                   rtol=2e-5, atol=2e-6)
+
+    @pytest.mark.slow
+    def test_batch_axis_dropout_global_rows(self):
+        """r5 fix: with the batch dim itself sharded (cp_batch_axis) AND
+        dropout active, both CP modes now seed from GLOBAL batch rows —
+        bit-identical to the single-device kernel (before, each data
+        shard repeated rows 0..B_local-1's masks and no parity was
+        possible; the old train-step parity test had to set dropout 0)."""
+        q, k, v, bias = _qkvb(jax.random.PRNGKey(25), b=4)
+        seed = jnp.int32(55)
+        mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2),
+                    ("data", "seq"))
+        ref = fa.attention_bhnd(q, k, v, bias, dropout_rate=0.25,
+                                seed=seed)
+        for mode in ("ring", "allgather"):
+            out = ra.ring_attention_sharded(
+                q, k, v, bias, mesh=mesh, axis="seq", dropout_rate=0.25,
+                seed=seed, batch_axis="data", mode=mode)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=mode)
+
+    def test_module_impl_allgather(self):
+        key = jax.random.PRNGKey(26)
+        p = attention.attention_init(key, 32, num_heads=4)
+        x = jax.random.normal(jax.random.PRNGKey(27), (2, 8, 8, 32))
+        ref = attention.spatial_attention_reference(
+            p, x, num_heads=4, impl="full")
+        out = attention.spatial_attention_reference(
+            p, x, num_heads=4, impl="allgather", cp_mesh=_mesh(8),
+            cp_axis="seq")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_requires_mesh_and_divisibility(self):
+        p = attention.attention_init(jax.random.PRNGKey(28), 32,
+                                     num_heads=4)
+        x = jax.random.normal(jax.random.PRNGKey(29), (1, 8, 8, 32))
+        with pytest.raises(ValueError, match="cp_mesh"):
+            attention.spatial_attention_reference(
+                p, x, num_heads=4, impl="allgather")
+        with pytest.raises(ValueError, match="mode"):
+            ra.ring_attention_sharded(
+                x[..., :4], x[..., :4], x[..., :4], None, mesh=_mesh(8),
+                axis="seq", mode="bogus")

@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Price `--attn_impl ring` (cross-chip context parallelism) vs DP.
+"""Price `--attn_impl ring` / `--attn_impl allgather` (cross-chip context
+parallelism) vs DP.
 
 r4 wired ring attention into the product with correctness evidence only
 (test_ring_attention, dryrun); this prices it, the bench_pod way — ONE
@@ -30,9 +31,12 @@ physical chip is reachable, so the pod rows are composed from:
      divides ONLY that part by p (the non-attention work stays
      batch-DP-sharded / replicated per the r4 wiring).
 
-Rows: DP strong/weak (bench_pod measured, cited), ring(1,8) strong
-(global batch 8) / weak (global 64) / batch-1 (the regime DP cannot
-shard at all). Writes one JSON document; BASELINE.md records the table.
+Rows: DP strong/weak (bench_pod measured, cited), ring and allgather
+strong (global batch 8) / weak (global 64) / batch-1 (the regime DP
+cannot shard at all). The allgather shard row (r5) measures the
+fused-kernel CP path: q shard x full gathered keys through the SAME
+Pallas kernel with q_offset — rho_ag ~= 1 vs the ring's XLA-chunk
+rho ~= 4-5. Writes one JSON document; BASELINE.md records the table.
 
 Usage: python tools/bench_ring.py [--iters 8] [--p 8]
 """
@@ -174,6 +178,42 @@ def ring_shard_time(p, iters, bwd):
     return slope(make, iters)
 
 
+def allgather_shard_time(p, iters, bwd):
+    """One device's allgather-CP compute (r5): q shard [B,H,N/p,D] against
+    the FULL gathered k/v through the SAME fused Pallas kernel the DP
+    path uses, with the shard's q_offset (all_gather elided — its bytes
+    are the same analytic wire budget as the ring's). rho_ag =
+    p * t_ag_shard / t_pallas_full is the allgather path's
+    compute-efficiency price; ~1/p means kernel-rate CP."""
+    from lunaris_orion_tpu.ops.pallas.flash_attention import attention_bhnd
+    nl = N // p
+    q, k, v, bias = _inputs(nl, N)
+    seed = jnp.int32(SEED)
+    q0 = jnp.int32(2 * nl)  # a non-zero shard for honesty; cost is uniform
+
+    def fwd(q, k, v, bias):
+        return attention_bhnd(q, k, v, bias, dropout_rate=DROP, seed=seed,
+                              q_offset=q0).astype(jnp.float32)
+
+    def loss(q, k, v, bias):
+        return jnp.sum(fwd(q, k, v, bias) ** 2)
+
+    body = (jax.grad(loss, argnums=(0, 1, 2)) if bwd else fwd)
+
+    def make(kk):
+        @jax.jit
+        def run(q, k, v, bias):
+            def step(c, _):
+                out = body(q + c * 0, k, v, bias)
+                leaf = out[0] if isinstance(out, tuple) else out
+                return leaf.astype(jnp.bfloat16)[..., :1, :1].mean(), None
+            r, _ = jax.lax.scan(step, jnp.bfloat16(0), None, length=kk)
+            return r
+        return lambda: float(run(q, k, v, bias))
+
+    return slope(make, iters)
+
+
 def wire_step_s(p, batch=B):
     """Analytic per-hybrid-step ppermute bytes / ICI bandwidth."""
     chunk = 2 * batch * H * (N // p) * D * 2 + H * (N // p) * 2  # k+v+bias
@@ -213,12 +253,24 @@ def main():
     t_rb = ring_shard_time(p, args.iters, bwd=True)
     log(f"  {t_rb * 1e3:.1f} ms  (rho_bwd = {p * t_rb / t_pb:.2f})")
 
+    log(f"[allgather shard p={p}] fwd (fused kernel, q_offset)")
+    t_af = allgather_shard_time(p, args.iters, bwd=False)
+    log(f"  {t_af * 1e3:.1f} ms  (rho_ag_fwd = {p * t_af / t_pf:.2f})")
+    log(f"[allgather shard p={p}] fwd+bwd")
+    t_ab = allgather_shard_time(p, args.iters, bwd=True)
+    log(f"  {t_ab * 1e3:.1f} ms  (rho_ag_bwd = {p * t_ab / t_pb:.2f})")
+
     out["pallas_full_ms"] = {"fwd": round(t_pf * 1e3, 1),
                              "fwd_bwd": round(t_pb * 1e3, 1)}
     out["ring_shard_ms"] = {"fwd": round(t_rf * 1e3, 1),
                             "fwd_bwd": round(t_rb * 1e3, 1)}
+    out["allgather_shard_ms"] = {"fwd": round(t_af * 1e3, 1),
+                                 "fwd_bwd": round(t_ab * 1e3, 1)}
     rho_f, rho_b = p * t_rf / t_pf, p * t_rb / t_pb
+    rho_af, rho_ab = p * t_af / t_pf, p * t_ab / t_pb
     out["rho"] = {"fwd": round(rho_f, 3), "fwd_bwd": round(rho_b, 3)}
+    out["rho_allgather"] = {"fwd": round(rho_af, 3),
+                            "fwd_bwd": round(rho_ab, 3)}
 
     # Hybrid-step composition. Attention seconds/step split into the
     # grad-bearing part (12 fwd+bwd calls) and no-grad part (12 fwd):
@@ -228,6 +280,8 @@ def main():
                                        + (N_FWD_CALLS - N_BWD_CALLS) * t_pf)
     t_attn_ring = (t_attn * frac_bwd * rho_b
                    + t_attn * (1 - frac_bwd) * rho_f) / p
+    t_attn_ag = (t_attn * frac_bwd * rho_ab
+                 + t_attn * (1 - frac_bwd) * rho_af) / p
     w_step, w_call = wire_step_s(p)
     rows = {}
 
@@ -247,6 +301,10 @@ def main():
     row("ring_strong_g8_overlap", 8, args.nonattn
         + max(t_attn_ring, w_step), DP_COLL,
         "perfect compute/wire overlap bound")
+    row("allgather_strong_g8", 8, args.nonattn + t_attn_ag,
+        w_step + DP_COLL,
+        "fused-kernel CP: nonattn replicated + attention/p at rho_ag "
+        "(measured) + serial wire (same bytes as ring)")
     # weak scaling: per-chip batch 8 worth of attention in BOTH schemes
     # (DP: 8 samples x full N; ring: 64 samples x N/8) — attention FLOPs
     # per chip identical, wire scales with batch.
@@ -255,10 +313,16 @@ def main():
     row("ring_weak_g64", 64, args.nonattn * 8 + t_attn_ring * 8,
         w_step64 + DP_COLL,
         "nonattn x8 replicated (batch 64 on every chip) + attention/p x8")
+    row("allgather_weak_g64", 64, args.nonattn * 8 + t_attn_ag * 8,
+        wire_step_s(p, batch=64)[0] + DP_COLL,
+        "fused-kernel CP at per-chip batch 8 worth of attention")
     # the regime DP cannot reach: global batch 1
     w_step1, _ = wire_step_s(p, batch=1)
     row("ring_g1", 1, args.nonattn / 8 + t_attn_ring / 8,
         w_step1 + DP_COLL, "batch 1: DP cannot shard; ring cuts latency")
+    row("allgather_g1", 1, args.nonattn / 8 + t_attn_ag / 8,
+        w_step1 + DP_COLL,
+        "batch 1 fused-kernel CP: the latency row at rho_ag")
     row("single_chip_g1", 1, args.step_full / 8, 0.0,
         "1 chip, batch 1 (linear-in-B approx of the b8 step)")
 
