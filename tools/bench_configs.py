@@ -131,7 +131,7 @@ def config1_cpu(image):
     emit("1_cpu_hybrid", measured_micro32_ms=round(dt32 * 1e3, 1),
          flop_ratio_128_over_32=round(ratio, 1),
          derived_recipe_step_s=round(derived_step_s, 1),
-         derived_sprites_per_sec=round(sprites, 4),
+         derived_sprites_per_sec=float(f"{sprites:.3g}"),
          note="derived: 32px micro-step x analytic FLOP ratio x accum 8; "
               "128px recipe impractical on this 1-core host",
          device="cpu")
