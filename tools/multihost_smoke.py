@@ -135,7 +135,41 @@ def run_workload(data_dir: str) -> dict:
                                 batch_size=GLOBAL_BATCH,
                                 embedding_dim=tcfg.embedding_dim,
                                 shard=embed_shard)
+
+    # Context parallelism ACROSS the process boundary (r5): a mesh whose
+    # 'model' axis pairs one device from each process — every CP
+    # collective (the allgather path's all_gather of k/v/bias and its
+    # reduce-scatter transpose) crosses the emulated DCN link, unlike the
+    # default mesh where model pairs are process-local. One full hybrid
+    # train step with --attn_impl allgather semantics; metrics must be
+    # identical on both workers and match the single-process oracle
+    # (deterministic hash dropout + global-row seeds make CP numerics
+    # process-count-invariant).
+    from jax.sharding import Mesh
+    from lunaris_orion_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    devs = np.array(jax.devices())
+    cp_mesh = Mesh(devs.reshape(2, 4).T, (DATA_AXIS, MODEL_AXIS))
+    cp_shards = state_shardings(abstract, cp_mesh,
+                                num_experts=tcfg.num_experts,
+                                latent_dim=vcfg.latent_dim,
+                                shard_experts=False)
+    cp_state = jax.jit(lambda k: create_state(k, cfg, vcfg, tcfg),
+                       out_shardings=cp_shards)(key)
+    cp_batch_sh = batch_sharding(cp_mesh)
+    cp_step = jax.jit(
+        make_train_step(cfg, vcfg, tcfg, attn_impl="allgather",
+                        cp_mesh=cp_mesh, cp_axis=MODEL_AXIS,
+                        cp_batch_axis=DATA_AXIS),
+        in_shardings=(cp_shards, cp_batch_sh),
+        out_shardings=(cp_shards, None), donate_argnums=0)
+    exp0 = expected[0]
+    cp_batch = jax.make_array_from_callback(
+        exp0.shape, cp_batch_sh, lambda idx: exp0[idx])
+    _, cp_m = cp_step(cp_state, cp_batch)
+    cp_metrics = {k: float(v) for k, v in cp_m.items()}
+
     return {
+        "cp_allgather_metrics": cp_metrics,
         "process_count": jax.process_count(),
         "process_index": jax.process_index(),
         "devices": jax.device_count(),
@@ -249,6 +283,10 @@ def launcher() -> int:
     ts0, tso = r0["embed_table_sum"], ro["embed_table_sum"]
     check("embed table matches the oracle",
           abs(ts0 - tso) <= 2e-4 * max(1.0, abs(tso)))
+    check("CP (allgather) step over a CROSS-PROCESS model axis: workers "
+          "identical", r0["cp_allgather_metrics"] == r1["cp_allgather_metrics"])
+    check("CP (allgather) step matches the oracle",
+          close([r0["cp_allgather_metrics"]], [ro["cp_allgather_metrics"]]))
 
     print(json.dumps({"multihost_smoke": "PASS" if ok else "FAIL",
                       "steps": STEPS,
